@@ -1,0 +1,310 @@
+"""Point-cloud filters as mask updates and sort-based reductions.
+
+nanoPCL-filter equivalents
+(/root/reference/fastdem/lib/nanoPCL/include/nanopcl/filters/):
+  * crop box / range / X / Y / Z / angle with INSIDE/OUTSIDE modes
+    (impl/crop_impl.hpp: inclusive bounds for INSIDE) -> pure mask updates.
+  * voxelGrid with CENTROID / NEAREST / ANY / CENTER modes
+    (impl/voxel_grid_impl.hpp:30-100: pack key, sort, per-voxel reduce).
+  * gridMaxZ (keep highest point per 2D cell).
+  * deskew (per-point pose interpolation, filters/deskew.hpp:72-129).
+
+TPU-first design:
+  * Filters NEVER compact (XLA static shapes); they intersect ``mask``.
+    Use pointcloud.compact() on the host when an exact-size cloud is needed.
+  * The reference packs voxel coords into a 64-bit key and sorts
+    (core/voxel.hpp:28-43). Without 64-bit integers we sort lexicographically
+    on (iz, iy, ix, original_index) int32 keys via jax.lax.sort — exact, and
+    the trailing index key makes the representative deterministic (lowest
+    original index per voxel, a refinement of the reference's 'ANY').
+  * Per-voxel reductions are jax.ops.segment_* over sorted segment ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fastdem_tpu.cloud import transform as tfm
+from fastdem_tpu.cloud.pointcloud import PointCloud
+
+
+class FilterMode(enum.Enum):
+    INSIDE = "inside"
+    OUTSIDE = "outside"
+
+
+class VoxelMode(enum.Enum):
+    CENTROID = "centroid"
+    NEAREST = "nearest"
+    ANY = "any"
+    CENTER = "center"
+
+
+def _apply(cloud: PointCloud, keep: jnp.ndarray, mode: FilterMode) -> PointCloud:
+    if mode == FilterMode.OUTSIDE:
+        keep = ~keep
+    return cloud.with_mask(cloud.mask & keep)
+
+
+# ---------------------------------------------------------------------------
+# Crop family (inclusive INSIDE bounds, matching crop_impl.hpp)
+# ---------------------------------------------------------------------------
+
+
+def crop_box(
+    cloud: PointCloud, min_pt, max_pt, mode: FilterMode = FilterMode.INSIDE
+) -> PointCloud:
+    lo = jnp.asarray(min_pt, dtype=jnp.float32)
+    hi = jnp.asarray(max_pt, dtype=jnp.float32)
+    keep = jnp.all((cloud.xyz >= lo) & (cloud.xyz <= hi), axis=-1)
+    return _apply(cloud, keep, mode)
+
+
+def crop_range(
+    cloud: PointCloud,
+    min_range: float,
+    max_range: float,
+    mode: FilterMode = FilterMode.INSIDE,
+) -> PointCloud:
+    d2 = jnp.sum(cloud.xyz * cloud.xyz, axis=-1)
+    keep = (d2 >= min_range * min_range) & (d2 <= max_range * max_range)
+    return _apply(cloud, keep, mode)
+
+
+def _crop_axis(cloud, axis, lo, hi, mode):
+    v = cloud.xyz[:, axis]
+    return _apply(cloud, (v >= lo) & (v <= hi), mode)
+
+
+def crop_x(cloud, lo, hi, mode=FilterMode.INSIDE):
+    return _crop_axis(cloud, 0, lo, hi, mode)
+
+
+def crop_y(cloud, lo, hi, mode=FilterMode.INSIDE):
+    return _crop_axis(cloud, 1, lo, hi, mode)
+
+
+def crop_z(cloud, lo, hi, mode=FilterMode.INSIDE):
+    return _crop_axis(cloud, 2, lo, hi, mode)
+
+
+def crop_angle(
+    cloud: PointCloud,
+    min_angle: float,
+    max_angle: float,
+    mode: FilterMode = FilterMode.INSIDE,
+) -> PointCloud:
+    """Azimuth FOV crop; half-plane cross-product formulation identical to
+    crop_impl.hpp:184-205 (handles wrap-around, eps=1e-5)."""
+    import math
+
+    cos_min, sin_min = math.cos(min_angle), math.sin(min_angle)
+    cos_max, sin_max = math.cos(max_angle), math.sin(max_angle)
+    wrap = min_angle > max_angle
+    rng = (2 * math.pi - (min_angle - max_angle)) if wrap else (max_angle - min_angle)
+    use_and = rng < math.pi
+    eps = 1e-5
+    x, y = cloud.xyz[:, 0], cloud.xyz[:, 1]
+    c_min = cos_min * y - sin_min * x
+    c_max = cos_max * y - sin_max * x
+    in_range = (
+        (c_min >= -eps) & (c_max <= eps)
+        if use_and
+        else (c_min >= -eps) | (c_max <= eps)
+    )
+    return _apply(cloud, in_range, mode)
+
+
+# ---------------------------------------------------------------------------
+# Voxel grid downsampling
+# ---------------------------------------------------------------------------
+
+
+def voxel_coords(xyz: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
+    """Integer voxel coordinates i32[N, 3] (core/voxel.hpp pack without the
+    bit-packing: we keep components separate for lexicographic sort)."""
+    return jnp.floor(xyz / voxel_size).astype(jnp.int32)
+
+
+def voxel_unique_mask(
+    xyz: jnp.ndarray, mask: jnp.ndarray, voxel_size: float
+) -> jnp.ndarray:
+    """Array-level voxelGrid(ANY): mask keeping one representative point per
+    3D voxel (lowest original index). Used by the raycasting downsample
+    (reference src/fastdem.cpp:156-158) inside jitted pipelines."""
+    coords = voxel_coords(xyz, voxel_size)
+    order, seg, is_head, valid_s = _voxel_sort(mask, coords)
+    keep = jnp.zeros(xyz.shape[0], dtype=bool).at[order].set(is_head)
+    return mask & keep
+
+
+def _voxel_sort(mask: jnp.ndarray, coords: jnp.ndarray):
+    """Sort points lexicographically by (masked-last, vz, vy, vx, index).
+
+    Returns (order, seg_id, is_head, valid_sorted) where seg_id is the dense
+    segment id per sorted position and is_head marks the first point of each
+    voxel. Invalid points sort to the tail and get seg ids beyond any valid
+    segment.
+    """
+    n = coords.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    invalid = (~mask).astype(jnp.int32)
+    kz, ky, kx = coords[:, 2], coords[:, 1], coords[:, 0]
+    # lax.sort: lexicographic over the first num_keys operands.
+    sorted_ops = jax.lax.sort(
+        (invalid, kz, ky, kx, idx), num_keys=4, is_stable=True
+    )
+    inv_s, kz_s, ky_s, kx_s, order = sorted_ops
+    valid_s = inv_s == 0
+    new_key = (
+        (kz_s != jnp.roll(kz_s, 1))
+        | (ky_s != jnp.roll(ky_s, 1))
+        | (kx_s != jnp.roll(kx_s, 1))
+    )
+    is_head = valid_s & (new_key.at[0].set(True))
+    # Dense segment id (0-based) per sorted position; invalid tail -> n.
+    seg = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+    seg = jnp.where(valid_s, seg, n)
+    return order, seg, is_head, valid_s
+
+
+def voxel_grid(
+    cloud: PointCloud, voxel_size: float, mode: VoxelMode = VoxelMode.ANY
+) -> PointCloud:
+    """Voxel-grid downsample. Output keeps the input capacity; surviving
+    points are the per-voxel representatives (mask marks them)."""
+    coords = voxel_coords(cloud.xyz, voxel_size)
+    order, seg, is_head, valid_s = _voxel_sort(cloud.mask, coords)
+    n = cloud.capacity
+
+    if mode == VoxelMode.ANY:
+        # Representative = lowest-index point per voxel (deterministic 'ANY').
+        keep_sorted = is_head
+        keep = jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
+        return cloud.with_mask(cloud.mask & keep)
+
+    xyz_s = cloud.xyz[order]
+    ones = valid_s.astype(jnp.float32)
+    cnt = jax.ops.segment_sum(ones, seg, num_segments=n + 1)[:n]
+    sums = jax.ops.segment_sum(
+        xyz_s * ones[:, None], seg, num_segments=n + 1
+    )[:n]
+    centroid = sums / jnp.maximum(cnt, 1.0)[:, None]
+
+    if mode == VoxelMode.NEAREST:
+        # Point closest to its voxel centroid.
+        d2 = jnp.sum((xyz_s - centroid[jnp.minimum(seg, n - 1)]) ** 2, axis=-1)
+        d2 = jnp.where(valid_s, d2, jnp.inf)
+        best = jax.ops.segment_min(d2, seg, num_segments=n + 1)[:n]
+        is_best = valid_s & (d2 <= best[jnp.minimum(seg, n - 1)])
+        # Tie-break: keep only the first best in each segment.
+        first_best_pos = jax.ops.segment_min(
+            jnp.where(is_best, jnp.arange(n), n), seg, num_segments=n + 1
+        )[:n]
+        keep_sorted = is_best & (
+            jnp.arange(n) == first_best_pos[jnp.minimum(seg, n - 1)]
+        )
+        keep = jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
+        return cloud.with_mask(cloud.mask & keep)
+
+    # CENTROID / CENTER synthesize new points at the head slots.
+    head_seg = jnp.minimum(seg, n - 1)
+    if mode == VoxelMode.CENTER:
+        new_xyz_sorted = (coords[order].astype(jnp.float32) + 0.5) * voxel_size
+    else:  # CENTROID
+        new_xyz_sorted = centroid[head_seg]
+
+    out_xyz = cloud.xyz.at[order].set(
+        jnp.where(is_head[:, None], new_xyz_sorted, cloud.xyz[order])
+    )
+    keep = jnp.zeros(n, dtype=bool).at[order].set(is_head)
+    out = dataclasses.replace(cloud, xyz=out_xyz, mask=cloud.mask & keep)
+
+    if mode == VoxelMode.CENTROID:
+        # Mean intensity/time/color/normal per voxel (voxel_grid_impl.hpp
+        # CENTROID branch); ring/label keep the head point's value.
+        ch = dict(out.channels)
+        for name in ("intensity", "time"):
+            if name in ch:
+                v = ch[name][order].astype(jnp.float32)
+                m = jax.ops.segment_sum(v * ones, seg, num_segments=n + 1)[:n]
+                mean = (m / jnp.maximum(cnt, 1.0))[head_seg]
+                ch[name] = ch[name].at[order].set(
+                    jnp.where(is_head, mean, ch[name][order])
+                )
+        if "color" in ch:
+            v = ch["color"][order].astype(jnp.float32)
+            m = jax.ops.segment_sum(v * ones[:, None], seg, num_segments=n + 1)[:n]
+            mean = (m / jnp.maximum(cnt, 1.0)[:, None])[head_seg]
+            ch["color"] = ch["color"].at[order].set(
+                jnp.where(
+                    is_head[:, None], mean.astype(jnp.uint8), ch["color"][order]
+                )
+            )
+        if "normal" in ch:
+            v = ch["normal"][order]
+            m = jax.ops.segment_sum(v * ones[:, None], seg, num_segments=n + 1)[:n]
+            norm = jnp.linalg.norm(m, axis=-1, keepdims=True)
+            mean = (m / jnp.maximum(norm, 1e-12))[head_seg]
+            ch["normal"] = ch["normal"].at[order].set(
+                jnp.where(is_head[:, None], mean, ch["normal"][order])
+            )
+        out = dataclasses.replace(out, channels=ch)
+    return out
+
+
+def grid_max_z(cloud: PointCloud, cell_size: float) -> PointCloud:
+    """Keep the highest point per 2D (x, y) cell (nanoPCL gridMaxZ)."""
+    n = cloud.capacity
+    coords2 = jnp.floor(cloud.xyz[:, :2] / cell_size).astype(jnp.int32)
+    coords = jnp.concatenate(
+        [coords2, jnp.zeros((n, 1), dtype=jnp.int32)], axis=1
+    )
+    order, seg, is_head, valid_s = _voxel_sort(cloud.mask, coords)
+    z_s = jnp.where(valid_s, cloud.xyz[order][:, 2], -jnp.inf)
+    zmax = jax.ops.segment_max(z_s, seg, num_segments=n + 1)[:n]
+    head_seg = jnp.minimum(seg, n - 1)
+    is_max = valid_s & (z_s >= zmax[head_seg])
+    first_pos = jax.ops.segment_min(
+        jnp.where(is_max, jnp.arange(n), n), seg, num_segments=n + 1
+    )[:n]
+    keep_sorted = is_max & (jnp.arange(n) == first_pos[head_seg])
+    keep = jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
+    return cloud.with_mask(cloud.mask & keep)
+
+
+# ---------------------------------------------------------------------------
+# Deskew (motion compensation)
+# ---------------------------------------------------------------------------
+
+
+def deskew(
+    cloud: PointCloud,
+    T_start: jnp.ndarray,
+    T_end: jnp.ndarray,
+    t0: float | jnp.ndarray = 0.0,
+    t1: float | jnp.ndarray = 1.0,
+) -> PointCloud:
+    """Per-point motion compensation (nanopcl filters/deskew.hpp:72-129).
+
+    Each point is transformed by the pose interpolated (slerp rotation,
+    lerp translation) at its normalized time within [t0, t1], using the
+    'time' channel. Points outside [t0, t1] clamp to the endpoints.
+    """
+    if "time" not in cloud.channels:
+        return tfm.transform_cloud(cloud, T_end)
+    t = cloud.channels["time"]
+    alpha = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-12), 0.0, 1.0)
+    q0 = tfm.quat_from_matrix(T_start[:3, :3])
+    q1 = tfm.quat_from_matrix(T_end[:3, :3])
+    q = tfm.slerp(q0, q1, alpha)  # [N, 4]
+    R = jax.vmap(tfm.matrix_from_quat)(q)  # [N, 3, 3]
+    trans = (1 - alpha)[:, None] * T_start[:3, 3] + alpha[:, None] * T_end[:3, 3]
+    xyz = jnp.einsum("nij,nj->ni", R, cloud.xyz) + trans
+    return dataclasses.replace(cloud, xyz=xyz)

@@ -1,0 +1,190 @@
+"""Fixed-capacity SoA point cloud as a JAX pytree (nanoPCL equivalent).
+
+Re-expresses ``nanopcl::PointCloud``
+(/root/reference/fastdem/lib/nanoPCL/include/nanopcl/core/point_cloud.hpp:14-184)
+for XLA: a structure-of-arrays container with optional named channels.
+
+TPU-first deviations:
+  * Fixed capacity + validity mask. XLA requires static shapes, so filters
+    never compact; they intersect ``mask``. ``compact()`` (host-side) and
+    ``pad_to()`` convert between exact-size and bucketed capacities.
+  * ``frame_id``/``timestamp_ns`` are static metadata. Hot-path jitted
+    functions must consume the array leaves (xyz/mask/channels) only —
+    passing whole clouds with changing timestamps through ``jax.jit``
+    causes retraces. The pipeline wrappers in fastdem_tpu.mapping.pipeline
+    follow this rule.
+
+Channels (same surface as nanoPCL core/types.hpp):
+  intensity f32[N], time f32[N], ring i32[N], color u8[N, 3], label i32[N],
+  normal f32[N, 3], covariance f32[N, 3, 3].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHANNEL_DTYPES = {
+    "intensity": jnp.float32,
+    "time": jnp.float32,
+    "ring": jnp.int32,
+    "color": jnp.uint8,
+    "label": jnp.int32,
+    "normal": jnp.float32,
+    "covariance": jnp.float32,
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PointCloud:
+    """SoA point cloud.
+
+    Attributes:
+      xyz: f32[N, 3] point coordinates.
+      mask: bool[N] validity; False entries are padding / filtered out.
+      channels: optional per-point channels (see CHANNEL_DTYPES).
+      frame_id: sensor/world frame name (static metadata).
+      timestamp_ns: acquisition time (static metadata; host-side use only).
+    """
+
+    xyz: jnp.ndarray
+    mask: jnp.ndarray
+    channels: Dict[str, jnp.ndarray]
+    frame_id: str = dataclasses.field(default="", metadata=dict(static=True))
+    timestamp_ns: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    # -- host-side conveniences -------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return int(self.xyz.shape[0])
+
+    def count(self) -> int:
+        """Number of valid points (device sync)."""
+        return int(jnp.sum(self.mask))
+
+    def has(self, channel: str) -> bool:
+        return channel in self.channels
+
+    def with_channel(self, name: str, value: jnp.ndarray) -> "PointCloud":
+        ch = dict(self.channels)
+        ch[name] = value
+        return dataclasses.replace(self, channels=ch)
+
+    def with_mask(self, mask: jnp.ndarray) -> "PointCloud":
+        return dataclasses.replace(self, mask=mask)
+
+    def with_frame(self, frame_id: str) -> "PointCloud":
+        return dataclasses.replace(self, frame_id=frame_id)
+
+
+def from_numpy(
+    xyz: np.ndarray,
+    frame_id: str = "",
+    timestamp_ns: int = 0,
+    capacity: Optional[int] = None,
+    **channels: np.ndarray,
+) -> PointCloud:
+    """Build a cloud from host arrays, optionally padding to ``capacity``.
+
+    Padding entries have mask=False and xyz filled with a far-away sentinel
+    so accidental unmasked consumers map them out of any grid.
+    """
+    xyz = np.asarray(xyz, dtype=np.float32).reshape(-1, 3)
+    n = xyz.shape[0]
+    cap = capacity if capacity is not None else n
+    if cap < n:
+        raise ValueError(f"capacity {cap} < point count {n}")
+    mask = np.zeros(cap, dtype=bool)
+    mask[:n] = True
+    # NaN rows in the input are invalid points (reference skips NaN points).
+    finite = np.isfinite(xyz).all(axis=1)
+    mask[:n] &= finite
+    pad_xyz = np.full((cap, 3), 1e9, dtype=np.float32)
+    pad_xyz[:n] = np.where(finite[:, None], xyz, 1e9)
+    ch_out: Dict[str, jnp.ndarray] = {}
+    for name, data in channels.items():
+        if data is None:
+            continue
+        if name not in CHANNEL_DTYPES:
+            raise KeyError(f"unknown channel '{name}'")
+        data = np.asarray(data)
+        buf_shape = (cap,) + data.shape[1:]
+        buf = np.zeros(buf_shape, dtype=data.dtype)
+        buf[:n] = data
+        ch_out[name] = jnp.asarray(buf)
+    return PointCloud(
+        xyz=jnp.asarray(pad_xyz),
+        mask=jnp.asarray(mask),
+        channels=ch_out,
+        frame_id=frame_id,
+        timestamp_ns=timestamp_ns,
+    )
+
+
+def compact(cloud: PointCloud) -> PointCloud:
+    """Host-side: drop masked-out points (exact size, device sync).
+
+    Equivalent of nanoPCL's compacting filter(pred)
+    (filters/core.hpp:21-80) when an exact-size result is needed (IO, tests).
+    """
+    keep = np.asarray(cloud.mask)
+    xyz = np.asarray(cloud.xyz)[keep]
+    ch = {k: np.asarray(v)[keep] for k, v in cloud.channels.items()}
+    return from_numpy(
+        xyz, frame_id=cloud.frame_id, timestamp_ns=cloud.timestamp_ns, **ch
+    )
+
+
+def pad_to(cloud: PointCloud, capacity: int) -> PointCloud:
+    """Host-side: grow capacity (for bucketed jit shapes)."""
+    if capacity == cloud.capacity:
+        return cloud
+    if capacity < cloud.capacity:
+        raise ValueError("pad_to cannot shrink; use compact() first")
+    extra = capacity - cloud.capacity
+    xyz = jnp.concatenate(
+        [cloud.xyz, jnp.full((extra, 3), 1e9, dtype=jnp.float32)], axis=0
+    )
+    mask = jnp.concatenate([cloud.mask, jnp.zeros(extra, dtype=bool)])
+    ch = {
+        k: jnp.concatenate(
+            [v, jnp.zeros((extra,) + v.shape[1:], dtype=v.dtype)], axis=0
+        )
+        for k, v in cloud.channels.items()
+    }
+    return dataclasses.replace(cloud, xyz=xyz, mask=mask, channels=ch)
+
+
+def bucket_capacity(n: int, granularity: int = 4096) -> int:
+    """Round up to a bucket size to bound the number of jit specializations
+    for variable-size scans (SURVEY.md section 7 'hard parts')."""
+    if n <= 0:
+        return granularity
+    return ((n + granularity - 1) // granularity) * granularity
+
+
+def merge(a: PointCloud, b: PointCloud) -> PointCloud:
+    """Concatenate two clouds (nanoPCL operator+=). Channels present in only
+    one input are zero-filled in the other."""
+    names = set(a.channels) | set(b.channels)
+    ch = {}
+    for name in names:
+        va = a.channels.get(name)
+        vb = b.channels.get(name)
+        if va is None:
+            va = jnp.zeros((a.capacity,) + vb.shape[1:], dtype=vb.dtype)
+        if vb is None:
+            vb = jnp.zeros((b.capacity,) + va.shape[1:], dtype=va.dtype)
+        ch[name] = jnp.concatenate([va, vb], axis=0)
+    return PointCloud(
+        xyz=jnp.concatenate([a.xyz, b.xyz], axis=0),
+        mask=jnp.concatenate([a.mask, b.mask], axis=0),
+        channels=ch,
+        frame_id=a.frame_id,
+        timestamp_ns=a.timestamp_ns,
+    )

@@ -1,0 +1,422 @@
+"""The FastDEM pipeline: preprocess -> map update -> estimate -> raycast.
+
+Functional, jit-compiled equivalent of the reference facade + mapper:
+  * FastDEM::integrateImpl / preprocessScan
+    (/root/reference/fastdem/src/fastdem.cpp:133-190)
+  * ElevationMapping::update / rasterize / estimate / updateMinMax /
+    updateObstacle / updateIntensity / updateColor
+    (/root/reference/fastdem/src/elevation_mapping.cpp:41-175)
+
+``build_integrate(geom, cfg, ...)`` returns one jitted step function
+  (state, xyz, mask, T_base_sensor, T_world_base[, intensity, color])
+    -> (state, IntegrateAux)
+with the map state donated, so each scan is a single device dispatch that
+updates the HBM-resident map in place.
+
+Hot-path fusions vs. the reference (numerics preserved):
+  * Sensor covariance is never materialized as [N, 3, 3]: only the world
+    z-variance r3^T Sigma r3 is computed (see sensors/models.py docstring).
+  * Crop filters are mask intersections, not compactions.
+  * Rasterize is scatter-min/max; estimators are dense masked passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastdem_tpu.cloud import filters as pcf
+from fastdem_tpu.cloud import transform as tfm
+from fastdem_tpu.config.config import (
+    Config,
+    EstimationType,
+    MappingMode,
+)
+from fastdem_tpu.grid import gridmap
+from fastdem_tpu.grid.geometry import GridGeometry
+from fastdem_tpu.grid.gridmap import GridMapState, layers
+from fastdem_tpu.mapping import kalman as kalman_est
+from fastdem_tpu.mapping import p2 as p2_est
+from fastdem_tpu.mapping import rasterize as raster
+from fastdem_tpu.postprocess import raycasting as raycast
+from fastdem_tpu.sensors.models import create_sensor_model
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class IntegrateAux:
+    """Per-scan auxiliary outputs (feeds the reference's observation
+    callbacks, fastdem.hpp:124-128: onScanPreprocessed / onScanRasterized)."""
+
+    world_xyz: jnp.ndarray  # preprocessed points in the map frame
+    world_mask: jnp.ndarray  # surviving-point mask after filters
+    z_var: jnp.ndarray  # world z-variance per point
+    obs: raster.CellObservations  # rasterized per-cell observations
+
+
+def estimator_layer_fills(cfg: Config) -> Dict[str, float]:
+    if cfg.mapping.estimation_type == EstimationType.P2_QUANTILE:
+        return p2_est.layer_fills()
+    return kalman_est.layer_fills()
+
+
+def initial_layer_fills(
+    cfg: Config, has_intensity: bool = False, has_color: bool = False
+) -> Dict[str, float]:
+    """Full static layer set for a pipeline run (ElevationMapping ctor,
+    src/elevation_mapping.cpp:11-39, plus lazily-created layers which are
+    static here because jit requires a fixed pytree structure)."""
+    fills = gridmap.default_layer_fills()
+    fills.update(estimator_layer_fills(cfg))
+    fills[layers.obstacle] = np.nan
+    if has_intensity:
+        fills[layers.intensity] = np.nan
+    if has_color:
+        fills[layers.color] = np.nan
+    if cfg.raycasting.enabled:
+        fills.update(raycast.layer_fills())
+    return fills
+
+
+def create_map_state(
+    geom: GridGeometry,
+    cfg: Config,
+    position=(0.0, 0.0),
+    has_intensity: bool = False,
+    has_color: bool = False,
+) -> GridMapState:
+    return gridmap.create(
+        geom, initial_layer_fills(cfg, has_intensity, has_color), position
+    )
+
+
+def _estimate(state: GridMapState, cfg: Config, obs: raster.CellObservations):
+    """estimator.update + computeBounds per touched cell
+    (src/elevation_mapping.cpp:94-108)."""
+    if cfg.mapping.estimation_type == EstimationType.P2_QUANTILE:
+        return p2_est.estimate(
+            state, cfg.mapping.p2, obs.min_z, obs.min_z_var, obs.touched
+        )
+    return kalman_est.update(
+        state, cfg.mapping.kalman, obs.min_z, obs.min_z_var, obs.touched
+    )
+
+
+def _update_minmax(state: GridMapState, obs: raster.CellObservations):
+    """Accumulating min/max layers (src/elevation_mapping.cpp:127-142)."""
+    stored_min = state.layers[layers.elevation_min]
+    stored_max = state.layers[layers.elevation_max]
+    new_min = jnp.where(
+        obs.touched & (jnp.isnan(stored_min) | (obs.min_z < stored_min)),
+        obs.min_z,
+        stored_min,
+    )
+    new_max = jnp.where(
+        obs.touched & (jnp.isnan(stored_max) | (obs.max_z > stored_max)),
+        obs.max_z,
+        stored_max,
+    )
+    return state.replace_layers(
+        {layers.elevation_min: new_min, layers.elevation_max: new_max}
+    )
+
+
+def _update_obstacle(state: GridMapState, obs: raster.CellObservations):
+    """Per-frame overwrite: obstacle = max_z iff max_z > min_z else NaN
+    (src/elevation_mapping.cpp:144-152; the layer is cleared first)."""
+    obstacle = jnp.where(
+        obs.touched & (obs.max_z > obs.min_z), obs.max_z, jnp.nan
+    )
+    return state.replace_layer(layers.obstacle, obstacle)
+
+
+def _update_intensity(state: GridMapState, obs: raster.CellObservations):
+    """Max-pool accumulation (src/elevation_mapping.cpp:154-166)."""
+    if obs.max_intensity is None or layers.intensity not in state.layers:
+        return state
+    stored = state.layers[layers.intensity]
+    has_obs = ~jnp.isnan(obs.max_intensity)
+    new = jnp.where(
+        has_obs & (jnp.isnan(stored) | (obs.max_intensity > stored)),
+        obs.max_intensity,
+        stored,
+    )
+    return state.replace_layer(layers.intensity, new)
+
+
+def _update_color(state: GridMapState, obs: raster.CellObservations):
+    """Write-through color (src/elevation_mapping.cpp:168-175; reference is
+    last-write, here the min-z point's color — see rasterize.py)."""
+    if obs.color is None or layers.color not in state.layers:
+        return state
+    stored = state.layers[layers.color]
+    has_obs = ~jnp.isnan(obs.color)
+    return state.replace_layer(
+        layers.color, jnp.where(has_obs, obs.color, stored)
+    )
+
+
+def build_integrate(
+    geom: GridGeometry,
+    cfg: Config,
+    has_intensity: bool = False,
+    has_color: bool = False,
+    jit: bool = True,
+    donate: bool = True,
+    ray_num_samples: Optional[int] = None,
+):
+    """Compile the per-scan integrate step.
+
+    Returned signature:
+      integrate(state, xyz, mask, T_base_sensor, T_world_base,
+                intensity=None, color_packed=None) -> (state, IntegrateAux)
+
+    ``xyz`` is the sensor-frame cloud (f32[N, 3]); transforms are 4x4 f32.
+    """
+    sensor = create_sensor_model(cfg.sensor_model)
+    pf = cfg.point_filter
+    local_mode = cfg.mapping.mode == MappingMode.LOCAL
+    # Squared range bounds precomputed in Python, clamped to the f32 range
+    # (range_max defaults to FLT_MAX; its square must not overflow the cast).
+    _F32_MAX = 3.4028235e38
+    rmin2 = min(pf.range_min * pf.range_min, _F32_MAX)
+    rmax2 = min(pf.range_max * pf.range_max, _F32_MAX)
+
+    def integrate(state, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None):
+        # ---- 1. Preprocess (fastdem.cpp:164-190) ----
+        T_ws = T_wb @ T_bs
+        r3 = T_ws[2, :3]  # third row of the sensor->world rotation
+        z_var = sensor.z_variance_world(xyz, r3)
+
+        xyz_base = tfm.transform_points(xyz, T_bs)
+        d2 = jnp.sum(xyz_base * xyz_base, axis=-1)
+        keep = (
+            mask
+            & (d2 >= rmin2)
+            & (d2 <= rmax2)
+            & (xyz_base[:, 2] >= pf.z_min)
+            & (xyz_base[:, 2] <= pf.z_max)
+        )
+        xyz_world = tfm.transform_points(xyz_base, T_wb)
+
+        # ---- 2. Map update (elevation_mapping.cpp:110-125) ----
+        if local_mode:
+            state = gridmap.move(geom, state, T_wb[:2, 3])
+
+        obs = raster.rasterize(
+            geom,
+            state.position,
+            xyz_world,
+            keep,
+            z_var,
+            intensity=intensity,
+            color_packed=color_packed,
+        )
+        state = _estimate(state, cfg, obs)
+        state = _update_minmax(state, obs)
+        state = _update_obstacle(state, obs)
+        state = _update_intensity(state, obs)
+        state = _update_color(state, obs)
+
+        # ---- 3. Raycasting (fastdem.cpp:152-159) ----
+        if cfg.raycasting.enabled:
+            sensor_origin = T_ws[:3, 3]
+            ray_mask = pcf.voxel_unique_mask(xyz_world, keep, geom.resolution)
+            state = raycast.apply_raycasting(
+                geom,
+                state,
+                xyz_world,
+                ray_mask,
+                sensor_origin,
+                cfg.raycasting,
+                num_samples=ray_num_samples,
+            )
+
+        aux = IntegrateAux(
+            world_xyz=xyz_world, world_mask=keep, z_var=z_var, obs=obs
+        )
+        return state, aux
+
+    if jit:
+        return jax.jit(integrate, donate_argnums=(0,) if donate else ())
+    return integrate
+
+
+# ---------------------------------------------------------------------------
+# Stateful convenience facade (mirrors the reference FastDEM class surface,
+# include/fastdem/fastdem.hpp:54-160). Keeps the jitted step + host metadata.
+# ---------------------------------------------------------------------------
+
+
+class FastDEM:
+    """Host-side facade: owns the map state and the compiled step.
+
+    Not thread-safe, like the reference (fastdem.hpp:49-53); the runtime
+    driver serializes access.
+    """
+
+    def __init__(
+        self,
+        geom: GridGeometry,
+        cfg: Optional[Config] = None,
+        position=(0.0, 0.0),
+        frame_id: str = "map",
+        has_intensity: bool = False,
+        has_color: bool = False,
+    ):
+        self.geom = geom
+        self.cfg = cfg or Config()
+        self.frame_id = frame_id
+        self.has_intensity = has_intensity
+        self.has_color = has_color
+        self._origin = tuple(position)
+        self.state = create_map_state(
+            geom, self.cfg, position, has_intensity, has_color
+        )
+        self._step = build_integrate(
+            geom, self.cfg, has_intensity, has_color
+        )
+        self.calibration = None  # Calibration provider (transform_interface)
+        self.odometry = None  # Odometry provider
+        self.on_preprocessed = None
+        self.on_rasterized = None
+        self.last_aux: Optional[IntegrateAux] = None
+
+    # -- fluent setters (fastdem.cpp:28-77): each rebuilds the step ----------
+    def _rebuild(self):
+        self._step = build_integrate(
+            self.geom, self.cfg, self.has_intensity, self.has_color
+        )
+        # Estimator/raycast layer sets may change; merge-preserving rebuild
+        # (ensureLayers is exists-guarded in the reference).
+        fills = initial_layer_fills(self.cfg, self.has_intensity, self.has_color)
+        lyr = dict(self.state.layers)
+        for name, fill in fills.items():
+            if name not in lyr:
+                lyr[name] = jnp.full(self.geom.shape, fill, dtype=jnp.float32)
+        self.state = GridMapState(layers=lyr, position=self.state.position)
+
+    def set_mapping_mode(self, mode: MappingMode) -> "FastDEM":
+        self.cfg.mapping.mode = mode
+        self._rebuild()
+        return self
+
+    def set_estimator_type(self, est: EstimationType) -> "FastDEM":
+        self.cfg.mapping.estimation_type = est
+        self._rebuild()
+        return self
+
+    def set_sensor_model(self, sensor_type) -> "FastDEM":
+        self.cfg.sensor_model.type = sensor_type
+        self._rebuild()
+        return self
+
+    def set_height_filter(self, z_min: float, z_max: float) -> "FastDEM":
+        self.cfg.point_filter.z_min = z_min
+        self.cfg.point_filter.z_max = z_max
+        self._rebuild()
+        return self
+
+    def set_range_filter(self, rmin: float, rmax: float) -> "FastDEM":
+        self.cfg.point_filter.range_min = rmin
+        self.cfg.point_filter.range_max = rmax
+        self._rebuild()
+        return self
+
+    def enable_raycasting(self, enabled: bool = True) -> "FastDEM":
+        self.cfg.raycasting.enabled = enabled
+        self._rebuild()
+        return self
+
+    def set_calibration_provider(self, provider) -> "FastDEM":
+        self.calibration = provider
+        return self
+
+    def set_odometry_provider(self, provider) -> "FastDEM":
+        self.odometry = provider
+        return self
+
+    def has_transform_provider(self) -> bool:
+        return self.calibration is not None and self.odometry is not None
+
+    def reset(self) -> None:
+        """clearAll (fastdem.cpp:26)."""
+        self.state = gridmap.clear_all(self.state)
+
+    # -- integration ---------------------------------------------------------
+    def integrate(self, cloud, T_base_sensor=None, T_world_base=None) -> bool:
+        """Integrate one scan. With explicit transforms this mirrors
+        FastDEM::integrate(cloud, T_bs, T_wb) (fastdem.cpp:122-131); without,
+        the providers are queried (fastdem.cpp:83-120). Returns False and
+        drops the scan on any failure (the reference's per-scan fault
+        tolerance)."""
+        import logging
+
+        log = logging.getLogger("fastdem_tpu")
+
+        if T_base_sensor is None or T_world_base is None:
+            if not self.has_transform_provider():
+                log.error(
+                    "[FastDEM] Transform providers not set; use explicit "
+                    "transforms or set providers first."
+                )
+                return False
+            if cloud is None or cloud.count() == 0:
+                log.warning("[FastDEM] Received empty or null cloud. Skipping...")
+                return False
+            if not cloud.frame_id:
+                log.error("[FastDEM] Input cloud has no frameId. Skipping...")
+                return False
+            T_base_sensor = self.calibration.get_extrinsic(cloud.frame_id)
+            if T_base_sensor is None:
+                log.warning(
+                    "[FastDEM] Calibration not available for '%s'. Skipping...",
+                    cloud.frame_id,
+                )
+                return False
+            T_world_base = self.odometry.get_pose_at(cloud.timestamp_ns)
+            if T_world_base is None:
+                log.warning(
+                    "[FastDEM] Odometry not available at %d. Skipping...",
+                    cloud.timestamp_ns,
+                )
+                return False
+        elif cloud is None or cloud.count() == 0:
+            import logging
+
+            logging.getLogger("fastdem_tpu").warning(
+                "[FastDEM] Received empty cloud. Skipping..."
+            )
+            return False
+
+        intensity = cloud.channels.get("intensity") if self.has_intensity else None
+        color_packed = None
+        if self.has_color and "color" in cloud.channels:
+            from fastdem_tpu.utils.colors import pack_rgb
+
+            color_packed = pack_rgb(cloud.channels["color"])
+
+        T_bs = jnp.asarray(T_base_sensor, dtype=jnp.float32)
+        T_wb = jnp.asarray(T_world_base, dtype=jnp.float32)
+        self.state, aux = self._step(
+            self.state, cloud.xyz, cloud.mask, T_bs, T_wb,
+            intensity, color_packed,
+        )
+        self.last_aux = aux
+        if self.on_preprocessed is not None:
+            self.on_preprocessed(aux)
+        if self.on_rasterized is not None:
+            self.on_rasterized(self.rasterized_cloud(aux))
+        return True
+
+    def rasterized_cloud(self, aux: IntegrateAux):
+        """One point per touched cell at (cell center, min_z) — the
+        onScanRasterized payload (fastdem.cpp:200-214)."""
+        x, y = self.geom.cell_centers(self.state.position)
+        touched = aux.obs.touched
+        return x, y, aux.obs.min_z, touched

@@ -1,0 +1,215 @@
+"""PointCloud container, transform, and filter tests (mirrors nanoPCL's
+pointcloud/transform/filters/voxel suites at the behavior level)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastdem_tpu.cloud import filters as F
+from fastdem_tpu.cloud import pointcloud as pc
+from fastdem_tpu.cloud import transform as tfm
+
+
+def cube_cloud(n=5):
+    g = np.linspace(-1, 1, n)
+    pts = np.stack(np.meshgrid(g, g, g, indexing="ij"), axis=-1).reshape(-1, 3)
+    return pc.from_numpy(pts)
+
+
+class TestPointCloud:
+    def test_from_numpy_pads_and_masks(self):
+        cloud = pc.from_numpy(np.zeros((3, 3)), capacity=8)
+        assert cloud.capacity == 8
+        assert cloud.count() == 3
+
+    def test_nan_points_invalid(self):
+        xyz = np.array([[0, 0, 0], [np.nan, 0, 0], [1, 1, 1]], dtype=np.float32)
+        cloud = pc.from_numpy(xyz)
+        assert cloud.count() == 2
+
+    def test_compact(self):
+        cloud = cube_cloud()
+        cloud = F.crop_z(cloud, 0.0, 2.0)
+        exact = pc.compact(cloud)
+        assert exact.capacity == exact.count() == cloud.count()
+
+    def test_channels(self):
+        cloud = pc.from_numpy(
+            np.zeros((4, 3)), intensity=np.arange(4, dtype=np.float32)
+        )
+        assert cloud.has("intensity")
+        np.testing.assert_allclose(
+            np.asarray(cloud.channels["intensity"]), [0, 1, 2, 3]
+        )
+
+    def test_merge(self):
+        a = pc.from_numpy(np.zeros((2, 3)), intensity=np.ones(2, np.float32))
+        b = pc.from_numpy(np.ones((3, 3)))
+        m = pc.merge(a, b)
+        assert m.capacity == 5
+        assert m.count() == 5
+        assert m.channels["intensity"].shape == (5,)
+
+
+class TestTransform:
+    def test_translation(self):
+        cloud = pc.from_numpy(np.array([[1.0, 2.0, 3.0]]))
+        T = tfm.make_transform(t=[1, -1, 0.5])
+        out = tfm.transform_cloud(cloud, T)
+        np.testing.assert_allclose(np.asarray(out.xyz[0]), [2, 1, 3.5])
+
+    def test_rotation_yaw90(self):
+        cloud = pc.from_numpy(np.array([[1.0, 0.0, 0.0]]))
+        T = tfm.from_rpy(0, 0, np.pi / 2)
+        out = tfm.transform_cloud(cloud, T)
+        np.testing.assert_allclose(np.asarray(out.xyz[0]), [0, 1, 0], atol=1e-6)
+
+    def test_inverse_roundtrip(self, rng):
+        T = tfm.from_rpy(0.3, -0.2, 1.1, t=[1, 2, 3])
+        pts = rng.normal(size=(10, 3)).astype(np.float32)
+        cloud = pc.from_numpy(pts)
+        back = tfm.transform_cloud(
+            tfm.transform_cloud(cloud, T), tfm.inverse(T)
+        )
+        np.testing.assert_allclose(np.asarray(back.xyz), pts, atol=1e-5)
+
+    def test_normals_rotated_not_translated(self):
+        cloud = pc.from_numpy(
+            np.array([[0.0, 0.0, 0.0]]), normal=np.array([[1.0, 0.0, 0.0]])
+        )
+        T = tfm.from_rpy(0, 0, np.pi / 2, t=[5, 5, 5])
+        out = tfm.transform_cloud(cloud, T)
+        np.testing.assert_allclose(
+            np.asarray(out.channels["normal"][0]), [0, 1, 0], atol=1e-6
+        )
+
+    def test_rotate_covariances(self):
+        cov = jnp.broadcast_to(jnp.diag(jnp.array([1.0, 2.0, 3.0])), (1, 3, 3))
+        T = tfm.from_rpy(0, 0, np.pi / 2)
+        out = tfm.rotate_covariances(cov, T[:3, :3])
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.diag([2.0, 1.0, 3.0]), atol=1e-6
+        )
+
+
+class TestCrop:
+    def test_crop_z_inside(self):
+        cloud = cube_cloud()
+        out = F.crop_z(cloud, 0.0, 1.0)
+        kept = np.asarray(out.xyz)[np.asarray(out.mask)]
+        assert np.all(kept[:, 2] >= 0.0)
+        assert out.count() == 5 * 5 * 3  # z in {0, 0.5, 1}
+
+    def test_crop_outside_mode(self):
+        cloud = cube_cloud()
+        inside = F.crop_z(cloud, 0.0, 1.0)
+        outside = F.crop_z(cloud, 0.0, 1.0, F.FilterMode.OUTSIDE)
+        assert inside.count() + outside.count() == cloud.count()
+
+    def test_crop_range(self):
+        cloud = pc.from_numpy(
+            np.array([[0.1, 0, 0], [1.0, 0, 0], [5.0, 0, 0]])
+        )
+        out = F.crop_range(cloud, 0.5, 2.0)
+        assert out.count() == 1
+
+    def test_crop_box(self):
+        cloud = cube_cloud()
+        out = F.crop_box(cloud, [-0.5, -0.5, -0.5], [0.5, 0.5, 0.5])
+        assert out.count() == 27
+
+    def test_crop_angle_quadrant(self):
+        cloud = pc.from_numpy(
+            np.array([[1.0, 0.1, 0], [-1.0, 0.1, 0], [0.1, 1.0, 0]])
+        )
+        out = F.crop_angle(cloud, 0.0, np.pi / 2)
+        kept = np.asarray(out.mask)
+        assert kept[0] and kept[2] and not kept[1]
+
+
+class TestVoxelGrid:
+    def test_any_dedup(self):
+        # Two points in the same voxel, one in a different voxel.
+        cloud = pc.from_numpy(
+            np.array([[0.01, 0.01, 0.01], [0.02, 0.02, 0.02], [1.5, 0, 0]])
+        )
+        out = F.voxel_grid(cloud, 1.0, F.VoxelMode.ANY)
+        assert out.count() == 2
+        # Deterministic: representative is the lowest original index.
+        assert bool(out.mask[0]) and not bool(out.mask[1])
+
+    def test_centroid(self):
+        cloud = pc.from_numpy(
+            np.array([[0.1, 0.1, 0.0], [0.3, 0.3, 0.0]], dtype=np.float32)
+        )
+        out = F.voxel_grid(cloud, 1.0, F.VoxelMode.CENTROID)
+        kept = np.asarray(out.xyz)[np.asarray(out.mask)]
+        np.testing.assert_allclose(kept[0], [0.2, 0.2, 0.0], atol=1e-6)
+
+    def test_center(self):
+        cloud = pc.from_numpy(np.array([[0.3, 0.4, 0.2]]))
+        out = F.voxel_grid(cloud, 1.0, F.VoxelMode.CENTER)
+        kept = np.asarray(out.xyz)[np.asarray(out.mask)]
+        np.testing.assert_allclose(kept[0], [0.5, 0.5, 0.5])
+
+    def test_nearest(self):
+        cloud = pc.from_numpy(
+            np.array([[0.1, 0.0, 0.0], [0.5, 0.0, 0.0], [0.9, 0.0, 0.0]])
+        )
+        out = F.voxel_grid(cloud, 1.0, F.VoxelMode.NEAREST)
+        kept = np.asarray(out.xyz)[np.asarray(out.mask)]
+        np.testing.assert_allclose(kept[0], [0.5, 0.0, 0.0])
+
+    def test_negative_coords(self):
+        cloud = pc.from_numpy(
+            np.array([[-0.1, -0.1, -0.1], [-0.2, -0.2, -0.2], [0.1, 0.1, 0.1]])
+        )
+        out = F.voxel_grid(cloud, 1.0, F.VoxelMode.ANY)
+        assert out.count() == 2
+
+    def test_masked_points_ignored(self):
+        cloud = pc.from_numpy(np.array([[0.1, 0, 0], [0.2, 0, 0]]))
+        cloud = cloud.with_mask(jnp.array([False, True]))
+        out = F.voxel_grid(cloud, 1.0, F.VoxelMode.ANY)
+        assert not bool(out.mask[0]) and bool(out.mask[1])
+
+    def test_unique_mask_helper(self):
+        xyz = jnp.array([[0.1, 0, 0], [0.2, 0, 0], [3.0, 0, 0]])
+        mask = jnp.ones(3, dtype=bool)
+        out = F.voxel_unique_mask(xyz, mask, 1.0)
+        assert int(out.sum()) == 2
+
+
+class TestGridMaxZ:
+    def test_keeps_highest(self):
+        cloud = pc.from_numpy(
+            np.array([[0.1, 0.1, 0.5], [0.2, 0.2, 2.0], [5.0, 5.0, 1.0]])
+        )
+        out = F.grid_max_z(cloud, 1.0)
+        kept = np.asarray(out.xyz)[np.asarray(out.mask)]
+        assert kept.shape[0] == 2
+        assert 2.0 in kept[:, 2]
+        assert 0.5 not in kept[:, 2]
+
+
+class TestDeskew:
+    def test_endpoint_poses(self):
+        xyz = np.zeros((2, 3), dtype=np.float32)
+        cloud = pc.from_numpy(
+            xyz, time=np.array([0.0, 1.0], dtype=np.float32)
+        )
+        T0 = tfm.make_transform(t=[0, 0, 0])
+        T1 = tfm.make_transform(t=[1, 0, 0])
+        out = F.deskew(cloud, T0, T1, 0.0, 1.0)
+        np.testing.assert_allclose(np.asarray(out.xyz[0]), [0, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.xyz[1]), [1, 0, 0], atol=1e-6)
+
+    def test_midpoint_rotation(self):
+        cloud = pc.from_numpy(
+            np.array([[1.0, 0.0, 0.0]]), time=np.array([0.5], np.float32)
+        )
+        T0 = tfm.make_transform()
+        T1 = tfm.from_rpy(0, 0, np.pi / 2)
+        out = F.deskew(cloud, T0, T1, 0.0, 1.0)
+        ang = np.arctan2(float(out.xyz[0, 1]), float(out.xyz[0, 0]))
+        np.testing.assert_allclose(ang, np.pi / 4, atol=1e-5)
