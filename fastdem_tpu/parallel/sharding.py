@@ -1,0 +1,106 @@
+"""Multi-chip map sharding: 2D block-partitioned global maps over a mesh.
+
+The reference is single-threaded on one CPU (SURVEY.md section 2.5); this
+module is the new first-class distributed layer required by BASELINE.json:
+a fixed-origin global map whose [H, W] layers are block-sharded over a 2D
+device mesh ("mx" x "my"), updated with the same integrate pipeline under
+``jax.jit`` + ``NamedSharding``. GSPMD partitions the scatter updates and
+inserts halo exchanges for the stencil post-processing ops automatically;
+per-scan point arrays are replicated (cheap: ~30K points vs multi-GB maps)
+so scatters into each block need no cross-device reshuffle of points.
+
+Scaling model (How-to-Scale-Your-Model recipe): pick the mesh, annotate the
+shardings, let XLA insert collectives; the block grid maps onto ICI
+neighbors so halo exchange is nearest-neighbor ``ppermute`` traffic.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastdem_tpu.grid.gridmap import GridMapState
+
+MAP_AXES = ("mx", "my")
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, shape: Optional[Tuple[int, int]] = None
+) -> Mesh:
+    """Build a 2D map mesh. ``shape`` defaults to the most-square factoring
+    of the device count (e.g. 8 -> 4x2) so block halos are short on both
+    axes."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if shape is None:
+        a = int(math.sqrt(n))
+        while n % a != 0:
+            a -= 1
+        shape = (n // a, a)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, MAP_AXES)
+
+
+def map_sharding(mesh: Mesh) -> NamedSharding:
+    """Layer sharding: rows over 'mx', cols over 'my'."""
+    return NamedSharding(mesh, P(*MAP_AXES))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def state_shardings(mesh: Mesh, state: GridMapState) -> GridMapState:
+    """A GridMapState-shaped pytree of shardings (for jit in/out_shardings)."""
+    lyr = map_sharding(mesh)
+    rep = replicated(mesh)
+    return GridMapState(
+        layers={k: lyr for k in state.layers}, position=rep
+    )
+
+
+def shard_state(state: GridMapState, mesh: Mesh) -> GridMapState:
+    """Place an existing state onto the mesh with block sharding."""
+    sh = state_shardings(mesh, state)
+    return GridMapState(
+        layers={
+            k: jax.device_put(v, sh.layers[k]) for k, v in state.layers.items()
+        },
+        position=jax.device_put(state.position, sh.position),
+    )
+
+
+def build_sharded_integrate(
+    geom,
+    cfg,
+    mesh: Mesh,
+    has_intensity: bool = False,
+    has_color: bool = False,
+    donate: bool = True,
+):
+    """Jit the integrate step with explicit shardings: map blocks sharded
+    over the mesh, scan arrays replicated. Returns (step_fn, shard_fn)."""
+    from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
+
+    raw = build_integrate(
+        geom, cfg, has_intensity, has_color, jit=False
+    )
+    proto = create_map_state(geom, cfg, (0.0, 0.0), has_intensity, has_color)
+    st_sh = state_shardings(mesh, proto)
+    rep = replicated(mesh)
+
+    in_shardings = (st_sh, rep, rep, rep, rep)
+    step = jax.jit(
+        lambda state, xyz, mask, T_bs, T_wb: raw(state, xyz, mask, T_bs, T_wb),
+        in_shardings=in_shardings,
+        donate_argnums=(0,) if donate else (),
+    )
+    return step, lambda s: shard_state(s, mesh)

@@ -1,0 +1,222 @@
+"""IO tests (mirrors reference tests/test_map_io.cpp: npz round trips incl.
+internal estimator layers, selective save, future-version rejection, PNG
+colormaps/normalization; plus PCD/KITTI/trajectory round trips)."""
+
+import json
+import zipfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastdem_tpu.cloud import pointcloud as pc
+from fastdem_tpu.grid import gridmap
+from fastdem_tpu.grid.geometry import GridGeometry
+from fastdem_tpu.grid.gridmap import GridMapState, layers
+from fastdem_tpu.io import npz as npz_io
+from fastdem_tpu.io import pcd as pcd_io
+from fastdem_tpu.io import png as png_io
+
+
+def demo_state(rng):
+    geom = GridGeometry.from_length(2.0, 3.0, 0.5)  # 4 x 6
+    fills = gridmap.default_layer_fills()
+    fills["_kalman_p"] = 0.0
+    state = gridmap.create(geom, fills, position=(1.25, -0.75))
+    elev = rng.normal(size=geom.shape).astype(np.float32)
+    elev[0, 0] = np.nan
+    state = state.replace_layer(layers.elevation, jnp.asarray(elev))
+    return geom, state
+
+
+class TestNpz:
+    def test_round_trip(self, rng, tmp_path):
+        geom, state = demo_state(rng)
+        path = str(tmp_path / "map.npz")
+        assert npz_io.save_npz(path, geom, state, frame_id="odom")
+        geom2, state2, meta = npz_io.load_npz(path)
+        assert geom2 == geom
+        assert meta["frame_id"] == "odom"
+        np.testing.assert_allclose(
+            np.asarray(state2.position), np.asarray(state.position)
+        )
+        for name in state.layers:
+            np.testing.assert_array_equal(
+                np.asarray(state2.layers[name]), np.asarray(state.layers[name])
+            )
+
+    def test_selective_save(self, rng, tmp_path):
+        geom, state = demo_state(rng)
+        path = str(tmp_path / "sel.npz")
+        npz_io.save_npz(path, geom, state, layer_names=[layers.elevation])
+        _, state2, _ = npz_io.load_npz(path)
+        assert set(state2.layers) == {layers.elevation}
+
+    def test_missing_layer_skipped(self, rng, tmp_path):
+        geom, state = demo_state(rng)
+        path = str(tmp_path / "m.npz")
+        assert npz_io.save_npz(
+            path, geom, state, layer_names=[layers.elevation, "nope"]
+        )
+        _, state2, _ = npz_io.load_npz(path)
+        assert "nope" not in state2.layers
+
+    def test_future_version_rejected(self, rng, tmp_path):
+        geom, state = demo_state(rng)
+        path = str(tmp_path / "v.npz")
+        npz_io.save_npz(path, geom, state)
+        # Tamper the meta version.
+        with np.load(path) as data:
+            arrays = {n: data[n] for n in data.files if n != "meta"}
+            meta = json.loads(bytes(data["meta"].item()).decode())
+        meta["version"] = 99
+        with open(path, "wb") as f:
+            np.savez(f, **arrays, meta=np.bytes_(json.dumps(meta).encode()))
+        with pytest.raises(ValueError, match="version"):
+            npz_io.load_npz(path)
+
+    def test_invalid_path(self, rng):
+        geom, state = demo_state(rng)
+        assert not npz_io.save_npz("/nonexistent_dir/x.npz", geom, state)
+
+    def test_numpy_interop_fortran_f4(self, rng, tmp_path):
+        """Layers must be Fortran-order float32 like the reference writer
+        (io_npz.cpp:141-146) so files cross-load bit-exactly."""
+        geom, state = demo_state(rng)
+        path = str(tmp_path / "f.npz")
+        npz_io.save_npz(path, geom, state)
+        with zipfile.ZipFile(path) as z:
+            with z.open("elevation.npy") as f:
+                head = f.read(80)
+        assert b"'fortran_order': True" in head
+        assert b"<f4" in head
+
+    def test_start_index_unroll(self, rng, tmp_path):
+        """A reference-produced file with a rotated circular buffer loads
+        world-aligned."""
+        geom, state = demo_state(rng)
+        path = str(tmp_path / "s.npz")
+        npz_io.save_npz(path, geom, state)
+        with np.load(path) as data:
+            arrays = {n: data[n] for n in data.files if n != "meta"}
+            meta = json.loads(bytes(data["meta"].item()).decode())
+        # Simulate reference rotation: buffer = roll(world, +start).
+        start = (1, 2)
+        meta["start_index"] = list(start)
+        arrays = {
+            n: np.roll(a, shift=start, axis=(0, 1)) for n, a in arrays.items()
+        }
+        with open(path, "wb") as f:
+            np.savez(f, **arrays, meta=np.bytes_(json.dumps(meta).encode()))
+        _, state2, _ = npz_io.load_npz(path)
+        np.testing.assert_array_equal(
+            np.asarray(state2.layers[layers.elevation]),
+            np.asarray(state.layers[layers.elevation]),
+        )
+
+
+class TestPng:
+    def test_writes_valid_png(self, rng, tmp_path):
+        geom, state = demo_state(rng)
+        path = str(tmp_path / "m.png")
+        assert png_io.save_png(path, state, layers.elevation)
+        with open(path, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+    def test_nan_is_transparent(self, rng):
+        layer = np.array([[1.0, np.nan], [0.0, 0.5]], dtype=np.float32)
+        rgba = png_io.layer_to_rgba(layer)
+        assert rgba[0, 1, 3] == 0
+        assert rgba[0, 0, 3] == 255
+
+    def test_colormaps(self, rng):
+        layer = np.linspace(0, 1, 16, dtype=np.float32).reshape(4, 4)
+        for cm in png_io.Colormap:
+            rgba = png_io.layer_to_rgba(
+                layer, png_io.PngExportConfig(colormap=cm)
+            )
+            assert rgba.shape == (4, 4, 4)
+
+    def test_fixed_range(self):
+        layer = np.array([[0.0, 10.0]], dtype=np.float32)
+        cfg = png_io.PngExportConfig(
+            normalize=png_io.Normalize.FIXED_RANGE, fixed_min=0, fixed_max=20
+        )
+        rgba = png_io.layer_to_rgba(layer, cfg)
+        # 10 of 20 -> mid gray under grayscale.
+        cfg.colormap = png_io.Colormap.GRAYSCALE
+        rgba = png_io.layer_to_rgba(layer, cfg)
+        assert abs(int(rgba[0, 1, 0]) - 128) <= 1
+
+    def test_missing_layer(self, rng, tmp_path):
+        geom, state = demo_state(rng)
+        assert not png_io.save_png(str(tmp_path / "x.png"), state, "nope")
+
+
+class TestPcd:
+    def test_binary_round_trip(self, rng, tmp_path):
+        xyz = rng.normal(size=(20, 3)).astype(np.float32)
+        inten = rng.uniform(size=20).astype(np.float32)
+        cloud = pc.from_numpy(xyz, intensity=inten)
+        path = str(tmp_path / "c.pcd")
+        assert pcd_io.save_pcd(path, cloud, binary=True)
+        back = pcd_io.load_pcd(path)
+        np.testing.assert_allclose(np.asarray(back.xyz), xyz, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(back.channels["intensity"]), inten, atol=1e-6
+        )
+
+    def test_ascii_round_trip(self, rng, tmp_path):
+        xyz = rng.normal(size=(10, 3)).astype(np.float32)
+        cloud = pc.from_numpy(xyz)
+        path = str(tmp_path / "a.pcd")
+        assert pcd_io.save_pcd(path, cloud, binary=False)
+        back = pcd_io.load_pcd(path)
+        np.testing.assert_allclose(np.asarray(back.xyz), xyz, atol=1e-5)
+
+    def test_color_round_trip(self, rng, tmp_path):
+        xyz = np.zeros((3, 3), dtype=np.float32)
+        color = rng.integers(0, 256, size=(3, 3)).astype(np.uint8)
+        cloud = pc.from_numpy(xyz, color=color)
+        path = str(tmp_path / "rgb.pcd")
+        pcd_io.save_pcd(path, cloud)
+        back = pcd_io.load_pcd(path)
+        np.testing.assert_array_equal(
+            np.asarray(back.channels["color"]), color
+        )
+
+    def test_masked_points_dropped(self, rng, tmp_path):
+        cloud = pc.from_numpy(np.zeros((4, 3), np.float32))
+        cloud = cloud.with_mask(jnp.array([True, False, True, False]))
+        path = str(tmp_path / "m.pcd")
+        pcd_io.save_pcd(path, cloud)
+        back = pcd_io.load_pcd(path)
+        assert back.capacity == 2
+
+
+class TestKittiTrajectory:
+    def test_bin_round_trip(self, rng, tmp_path):
+        xyz = rng.normal(size=(15, 3)).astype(np.float32)
+        inten = rng.uniform(size=15).astype(np.float32)
+        cloud = pc.from_numpy(xyz, intensity=inten)
+        path = str(tmp_path / "v.bin")
+        assert pcd_io.save_kitti_bin(path, cloud)
+        back = pcd_io.load_kitti_bin(path)
+        np.testing.assert_allclose(np.asarray(back.xyz), xyz)
+
+    def test_tum_round_trip(self, tmp_path):
+        from fastdem_tpu.cloud import transform as tfm
+
+        T = np.asarray(tfm.from_rpy(0.1, 0.2, 0.3, t=[1, 2, 3]))
+        path = str(tmp_path / "traj.txt")
+        assert pcd_io.save_trajectory_tum(path, [1.5], [T])
+        ts, poses = pcd_io.load_trajectory_tum(path)
+        assert ts[0] == pytest.approx(1.5)
+        np.testing.assert_allclose(poses[0], T, atol=1e-5)
+
+    def test_kitti_poses(self, tmp_path):
+        path = str(tmp_path / "poses.txt")
+        T = np.eye(4)[:3].reshape(-1)
+        np.savetxt(path, T[None])
+        poses = pcd_io.load_trajectory_kitti(path)
+        np.testing.assert_allclose(poses[0], np.eye(4))
