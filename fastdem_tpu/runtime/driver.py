@@ -1,0 +1,240 @@
+"""Streaming mapping driver: the ROS-node equivalent without ROS.
+
+Re-expresses the behavioral surface of the reference node
+(/root/reference/ros2/src/fastdem_ros_node.cpp):
+  * scan intake -> integrate under a writer lock (:178-198)
+  * periodic local-view / global-submap publishing via pluggable sinks
+    (:247-296; topics become callbacks / npz / png artifacts)
+  * periodic post-processing on a SNAPSHOT of {elevation, upper, lower}
+    (:202-245) — under JAX, arrays are immutable so the snapshot is a free
+    dict subset rather than a copy; the postprocess chain runs as one jitted
+    function and can overlap with mapping on-device
+  * trigger services -> methods: reset / run_postprocess / run_inpainting /
+    run_uncertainty_fusion / run_feature_extraction (:131-135)
+  * startup summary banner (:298-356)
+
+Threading mirrors the reference's 3-lane executor: the caller's scan thread,
+a viz timer, and a postprocess timer, serialized around the FastDEM facade
+with an RLock (the facade itself is not thread-safe, fastdem.hpp:49-53).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from fastdem_tpu.config.config import Config, PostProcessConfig
+from fastdem_tpu.grid import gridmap as gm
+from fastdem_tpu.grid.geometry import GridGeometry
+from fastdem_tpu.grid.gridmap import layers
+from fastdem_tpu.mapping.pipeline import FastDEM
+from fastdem_tpu.postprocess import apply_postprocess_fn
+
+log = logging.getLogger("fastdem_tpu.runtime")
+
+
+class MappingDriver:
+    """Online mapping session driver."""
+
+    def __init__(
+        self,
+        geom: GridGeometry,
+        cfg: Optional[Config] = None,
+        postprocess_cfg: Optional[PostProcessConfig] = None,
+        calibration=None,
+        odometry=None,
+        postprocess_rate: float = 1.0,
+        viz_rate: float = 2.0,
+        artifact_dir: Optional[str] = None,
+        **mapper_kwargs,
+    ):
+        import jax
+
+        self.geom = geom
+        self.mapper = FastDEM(geom, cfg, **mapper_kwargs)
+        if calibration is not None:
+            self.mapper.set_calibration_provider(calibration)
+        if odometry is not None:
+            self.mapper.set_odometry_provider(odometry)
+        self.pp_cfg = postprocess_cfg or PostProcessConfig()
+        self._pp_fn = jax.jit(apply_postprocess_fn(geom, self.pp_cfg))
+        self.postprocess_rate = postprocess_rate
+        self.viz_rate = viz_rate
+        self.artifact_dir = artifact_dir
+
+        self._lock = threading.RLock()
+        self._timers: list[threading.Thread] = []
+        self._stop = threading.Event()
+        self._scan_count = 0
+        self._started = False
+
+        # Pluggable sinks (the 'topics'): name -> callback(payload dict).
+        self.sinks: Dict[str, Callable[[dict], None]] = {}
+        self.postprocess_result: Optional[Dict[str, np.ndarray]] = None
+
+        self._banner()
+
+    # -- intake ------------------------------------------------------------
+    def on_scan(self, cloud, T_base_sensor=None, T_world_base=None) -> bool:
+        """Scan callback: integrate (explicit transforms or providers)."""
+        with self._lock:
+            ok = self.mapper.integrate(cloud, T_base_sensor, T_world_base)
+            if ok:
+                self._scan_count += 1
+                if not self._started:
+                    self._started = True
+                    self._start_timers()
+        return ok
+
+    # -- timers ------------------------------------------------------------
+    def _start_timers(self):
+        """Timers start on the first scan (fastdem_ros_node.cpp:185-191)."""
+        if self.postprocess_rate > 0:
+            self._spawn(self._pp_loop, 1.0 / self.postprocess_rate)
+        if self.viz_rate > 0:
+            self._spawn(self._viz_loop, 1.0 / self.viz_rate)
+
+    def _spawn(self, fn, period):
+        t = threading.Thread(target=self._loop, args=(fn, period), daemon=True)
+        t.start()
+        self._timers.append(t)
+
+    def _loop(self, fn, period):
+        while not self._stop.wait(period):
+            try:
+                fn()
+            except Exception:  # noqa: BLE001 - timers must not die
+                log.exception("driver timer error")
+
+    def close(self):
+        self._stop.set()
+        for t in self._timers:
+            t.join(timeout=2.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- services (Trigger equivalents, :131-135) --------------------------
+    def reset(self) -> None:
+        with self._lock:
+            self.mapper.reset()
+            self._scan_count = 0
+
+    def run_postprocess(
+        self, uf: bool = True, inpaint: bool = True, features: bool = True
+    ) -> Dict[str, np.ndarray]:
+        """Snapshot -> UF -> inpaint -> FE -> derived uncertainty_range
+        (runPostProcess, :208-245)."""
+        import jax
+
+        with self._lock:
+            snap = gm.snapshot(
+                self.mapper.state,
+                [layers.elevation, layers.upper_bound, layers.lower_bound],
+            )
+        cfg = PostProcessConfig(
+            inpainting=self.pp_cfg.inpainting,
+            uncertainty_fusion=self.pp_cfg.uncertainty_fusion,
+            feature_extraction=self.pp_cfg.feature_extraction,
+        )
+        cfg.inpainting.enabled = inpaint
+        cfg.uncertainty_fusion.enabled = uf
+        cfg.feature_extraction.enabled = features
+        fn = jax.jit(apply_postprocess_fn(self.geom, cfg))
+        out = fn(
+            snap.layers[layers.elevation],
+            snap.layers[layers.upper_bound],
+            snap.layers[layers.lower_bound],
+        )
+        result = {k: np.asarray(v) for k, v in out.items()}
+        self.postprocess_result = result
+        self._publish("postprocess", result)
+        return result
+
+    def run_inpainting(self):
+        return self.run_postprocess(uf=False, inpaint=True, features=False)
+
+    def run_uncertainty_fusion(self):
+        return self.run_postprocess(uf=True, inpaint=False, features=False)
+
+    def run_feature_extraction(self):
+        return self.run_postprocess(uf=False, inpaint=False, features=True)
+
+    # -- publishing --------------------------------------------------------
+    def _pp_loop(self):
+        if self._scan_count == 0:
+            return
+        self.run_postprocess(
+            uf=self.pp_cfg.uncertainty_fusion.enabled,
+            inpaint=self.pp_cfg.inpainting.enabled,
+            features=self.pp_cfg.feature_extraction.enabled,
+        )
+
+    def _viz_loop(self):
+        if self._scan_count == 0:
+            return
+        with self._lock:
+            state = self.mapper.state
+        payload = {
+            "position": np.asarray(state.position),
+            "scan_count": self._scan_count,
+            "layers": {
+                k: np.asarray(v)
+                for k, v in state.layers.items()
+                if not gm.is_internal(k)
+            },
+        }
+        self._publish("map", payload)
+        if self.artifact_dir:
+            from fastdem_tpu.io.npz import save_npz
+
+            save_npz(
+                f"{self.artifact_dir}/map_latest.npz",
+                self.geom,
+                state,
+                frame_id=self.mapper.frame_id,
+            )
+
+    def _publish(self, topic: str, payload: dict):
+        sink = self.sinks.get(topic)
+        if sink is not None:
+            try:
+                sink(payload)
+            except Exception:  # noqa: BLE001
+                log.exception("sink '%s' failed", topic)
+
+    def submap(self, center_xy, length_xy) -> Dict[str, np.ndarray]:
+        """Global-submap view (:271-280)."""
+        with self._lock:
+            state = self.mapper.state
+        rs, cs = gm.submap_slices(
+            self.geom, np.asarray(state.position), center_xy, length_xy
+        )
+        return {
+            k: np.asarray(v)[rs, cs]
+            for k, v in state.layers.items()
+            if not gm.is_internal(k)
+        }
+
+    def _banner(self):
+        cfg = self.mapper.cfg
+        log.info(
+            "FastDEM-TPU driver: map %dx%d @ %.2fm | mode=%s estimator=%s "
+            "sensor=%s raycast=%s | pp %.1f Hz viz %.1f Hz",
+            self.geom.rows,
+            self.geom.cols,
+            self.geom.resolution,
+            cfg.mapping.mode.value,
+            cfg.mapping.estimation_type.value,
+            cfg.sensor_model.type.value,
+            cfg.raycasting.enabled,
+            self.postprocess_rate,
+            self.viz_rate,
+        )

@@ -1,0 +1,190 @@
+"""Online-mode tests with mock providers + failure injection (mirrors
+reference tests/test_online_mode.cpp:20-175) and driver behavior."""
+
+import numpy as np
+import pytest
+
+from fastdem_tpu.cloud import pointcloud as pc
+from fastdem_tpu.config.config import Config, PostProcessConfig
+from fastdem_tpu.grid.geometry import GridGeometry
+from fastdem_tpu.grid.gridmap import layers
+from fastdem_tpu.mapping.pipeline import FastDEM
+from fastdem_tpu.runtime.driver import MappingDriver
+from fastdem_tpu.runtime.providers import (
+    StaticCalibration,
+    StaticOdometry,
+    TransformBuffer,
+)
+
+
+def cloud(frame="lidar", n=100, t=1_000_000_000):
+    rng = np.random.default_rng(0)
+    pts = np.column_stack(
+        [rng.uniform(-3, 3, n), rng.uniform(-3, 3, n), np.zeros(n)]
+    ).astype(np.float32)
+    return pc.from_numpy(pts, frame_id=frame, timestamp_ns=t)
+
+
+def make_mapper():
+    geom = GridGeometry.from_length(10.0, 10.0, 0.1)
+    m = FastDEM(geom, Config())
+    calib = StaticCalibration()
+    calib.set_extrinsic("lidar", np.eye(4, dtype=np.float32))
+    odom = StaticOdometry()
+    m.set_calibration_provider(calib)
+    m.set_odometry_provider(odom)
+    return m, calib, odom
+
+
+class TestOnlineMode:
+    def test_provider_integrate(self):
+        m, _, _ = make_mapper()
+        assert m.integrate(cloud())
+        elev = np.asarray(m.state.layers[layers.elevation])
+        assert np.isfinite(elev).sum() > 0
+
+    def test_no_providers_fails(self):
+        geom = GridGeometry.from_length(5.0, 5.0, 0.1)
+        m = FastDEM(geom, Config())
+        assert not m.integrate(cloud())
+
+    def test_calibration_failure_drops_scan(self):
+        m, calib, _ = make_mapper()
+        calib.fail = True
+        assert not m.integrate(cloud())
+
+    def test_odometry_failure_drops_scan(self):
+        m, _, odom = make_mapper()
+        odom.fail = True
+        assert not m.integrate(cloud())
+
+    def test_unknown_frame(self):
+        m, _, _ = make_mapper()
+        assert not m.integrate(cloud(frame="unknown_sensor"))
+
+    def test_missing_frame_id(self):
+        m, _, _ = make_mapper()
+        assert not m.integrate(cloud(frame=""))
+
+    def test_recovers_after_failure(self):
+        m, calib, _ = make_mapper()
+        calib.fail = True
+        assert not m.integrate(cloud())
+        calib.fail = False
+        assert m.integrate(cloud())
+
+
+class TestTransformBuffer:
+    def test_extrinsic_cache(self):
+        buf = TransformBuffer()
+        T = np.eye(4)
+        buf.set_extrinsic("cam", T)
+        assert buf.get_extrinsic("cam") is not None
+        assert buf.get_extrinsic("") is None
+        assert buf.get_extrinsic("nope") is None
+
+    def test_pose_interpolation(self):
+        buf = TransformBuffer(max_stale_time=10.0)
+        T0 = np.eye(4)
+        T1 = np.eye(4)
+        T1[0, 3] = 2.0
+        buf.add_pose(0, T0)
+        buf.add_pose(2_000_000_000, T1)
+        T = buf.get_pose_at(1_000_000_000)
+        np.testing.assert_allclose(T[0, 3], 1.0, atol=1e-6)
+
+    def test_staleness_rejected(self):
+        buf = TransformBuffer(max_stale_time=0.1)
+        buf.add_pose(0, np.eye(4))
+        assert buf.get_pose_at(10_000_000_000) is None
+
+    def test_latest_fallback(self):
+        buf = TransformBuffer(max_stale_time=0.1, use_latest_fallback=True)
+        T = np.eye(4)
+        T[1, 3] = 5.0
+        buf.add_pose(0, T)
+        out = buf.get_pose_at(10_000_000_000)
+        assert out is not None and out[1, 3] == 5.0
+
+    def test_zero_timestamp_latest(self):
+        buf = TransformBuffer(max_stale_time=0.0)
+        buf.add_pose(123, np.eye(4))
+        assert buf.get_pose_at(0) is not None
+
+    def test_empty_buffer(self):
+        buf = TransformBuffer()
+        assert buf.get_pose_at(100) is None
+
+
+class TestDriver:
+    def make_driver(self, **kw):
+        geom = GridGeometry.from_length(8.0, 8.0, 0.1)
+        calib = StaticCalibration()
+        calib.set_extrinsic("lidar", np.eye(4, dtype=np.float32))
+        pp = PostProcessConfig()
+        pp.inpainting.enabled = True
+        return MappingDriver(
+            geom,
+            Config(),
+            postprocess_cfg=pp,
+            calibration=calib,
+            odometry=StaticOdometry(),
+            postprocess_rate=0.0,  # manual triggering in tests
+            viz_rate=0.0,
+            **kw,
+        )
+
+    def test_scan_and_services(self):
+        with self.make_driver() as d:
+            assert d.on_scan(cloud())
+            out = d.run_postprocess()
+            assert "elevation" in out and "uncertainty_range" in out
+            d.reset()
+            assert np.all(
+                np.isnan(np.asarray(d.mapper.state.layers[layers.elevation]))
+            )
+
+    def test_individual_services(self):
+        with self.make_driver() as d:
+            d.on_scan(cloud())
+            assert "elevation" in d.run_inpainting()
+            assert "upper_bound" in d.run_uncertainty_fusion()
+            assert "slope" in d.run_feature_extraction()
+
+    def test_sink_publishing(self):
+        with self.make_driver() as d:
+            got = []
+            d.sinks["postprocess"] = lambda p: got.append(p)
+            d.on_scan(cloud())
+            d.run_postprocess()
+            assert len(got) == 1
+
+    def test_submap(self):
+        with self.make_driver() as d:
+            d.on_scan(cloud())
+            sub = d.submap((0.0, 0.0), (2.0, 2.0))
+            assert sub["elevation"].shape == (20, 20)
+
+    def test_timers_fire(self):
+        import time
+
+        geom = GridGeometry.from_length(6.0, 6.0, 0.1)
+        calib = StaticCalibration()
+        calib.set_extrinsic("lidar", np.eye(4, dtype=np.float32))
+        got = []
+        with MappingDriver(
+            geom,
+            Config(),
+            calibration=calib,
+            odometry=StaticOdometry(),
+            postprocess_rate=20.0,
+            viz_rate=20.0,
+        ) as d:
+            d.sinks["map"] = lambda p: got.append(p)
+            d.on_scan(cloud())
+            t0 = time.time()
+            while not got and time.time() - t0 < 10:
+                time.sleep(0.05)
+        assert got, "viz timer never published"
+        assert got[0]["scan_count"] == 1
+        assert not any(k.startswith("_") for k in got[0]["layers"])
