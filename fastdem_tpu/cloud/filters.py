@@ -308,3 +308,62 @@ def deskew(
     trans = (1 - alpha)[:, None] * T_start[:3, 3] + alpha[:, None] * T_end[:3, 3]
     xyz = jnp.einsum("nij,nj->ni", R, cloud.xyz) + trans
     return dataclasses.replace(cloud, xyz=xyz)
+
+
+# ---------------------------------------------------------------------------
+# Outlier removal (nanoPCL filters/impl/outlier_removal_impl.hpp)
+# ---------------------------------------------------------------------------
+
+
+def statistical_outlier_removal(
+    cloud: PointCloud,
+    k: int = 20,
+    std_mul: float = 1.0,
+    method: str = "auto",
+    bucket_size: Optional[float] = None,
+) -> PointCloud:
+    """Remove points whose mean kNN distance exceeds
+    global_mean + std_mul * global_std (outlier_removal_impl.hpp:83-141;
+    population std over all points, threshold inclusive <=).
+
+    Masked points are excluded from both the statistics and the output.
+    """
+    from fastdem_tpu.cloud import search
+
+    n = cloud.capacity
+    _, dist = search.knn(
+        cloud.xyz, cloud.mask, k, method=method, bucket_size=bucket_size
+    )
+    valid_nb = jnp.isfinite(dist)
+    cnt = jnp.sum(valid_nb, axis=1)
+    mean_d = jnp.where(
+        cnt > 0,
+        jnp.sum(jnp.where(valid_nb, dist, 0.0), axis=1) / jnp.maximum(cnt, 1),
+        0.0,
+    )
+    m = cloud.mask
+    nvalid = jnp.maximum(jnp.sum(m), 1)
+    g_mean = jnp.sum(jnp.where(m, mean_d, 0.0)) / nvalid
+    g_var = jnp.sum(jnp.where(m, (mean_d - g_mean) ** 2, 0.0)) / nvalid
+    threshold = g_mean + std_mul * jnp.sqrt(g_var)
+    return cloud.with_mask(m & (mean_d <= threshold))
+
+
+def radius_outlier_removal(
+    cloud: PointCloud,
+    radius: float,
+    min_neighbors: int = 2,
+    per_bucket: int = 16,
+) -> PointCloud:
+    """Keep points with >= min_neighbors other points within ``radius``
+    (outlier_removal_impl.hpp:21-48)."""
+    from fastdem_tpu.cloud.search import BucketGrid
+
+    grid = BucketGrid(cloud.xyz, cloud.mask, radius)
+    cnt = grid.radius_count(
+        cloud.xyz,
+        radius,
+        per_bucket=per_bucket,
+        exclude_self_idx=jnp.arange(cloud.capacity, dtype=jnp.int32),
+    )
+    return cloud.with_mask(cloud.mask & (cnt >= min_neighbors))

@@ -1,0 +1,100 @@
+"""Normal and covariance estimation from local neighborhoods.
+
+Equivalent of nanoPCL's normal/covariance estimation
+(/root/reference/fastdem/lib/nanoPCL/include/nanopcl/geometry/
+normal_estimation.hpp:43-284, incl. the OMP variants — parallelism is
+implicit here): per point, PCA over the kNN neighborhood; the normal is the
+smallest eigenvector, oriented toward the viewpoint (default origin, the
+reference's convention); covariances (for GICP) are the full neighborhood
+covariance matrices.
+
+Batched formulation: one kNN query (cloud/search.py), gathered neighbor
+coordinates [N, k, 3], moment sums, then the closed-form batched 3x3
+eigendecomposition (cloud/pca.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from fastdem_tpu.cloud.pca import eigh3x3
+from fastdem_tpu.cloud.pointcloud import PointCloud
+from fastdem_tpu.cloud.search import knn
+
+
+def _neighborhood_cov(
+    xyz: jnp.ndarray, idx: jnp.ndarray, include_self: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-point covariance over gathered neighbors. Returns (cov, count)."""
+    valid = idx >= 0
+    pts = xyz[jnp.maximum(idx, 0)]  # [N, k, 3]
+    if include_self:
+        pts = jnp.concatenate([xyz[:, None, :], pts], axis=1)
+        valid = jnp.concatenate(
+            [jnp.ones((xyz.shape[0], 1), bool), valid], axis=1
+        )
+    w = valid.astype(jnp.float32)[..., None]
+    cnt = jnp.sum(w[..., 0], axis=1)
+    cnt_safe = jnp.maximum(cnt, 1.0)[:, None]
+    mean = jnp.sum(pts * w, axis=1) / cnt_safe
+    d = (pts - mean[:, None, :]) * w
+    cov = jnp.einsum("nki,nkj->nij", d, d) / cnt_safe[..., None]
+    return cov, cnt
+
+
+def estimate_normals(
+    cloud: PointCloud,
+    k: int = 10,
+    viewpoint=(0.0, 0.0, 0.0),
+    method: str = "auto",
+    bucket_size: Optional[float] = None,
+) -> PointCloud:
+    """Adds a 'normal' channel; normals oriented toward ``viewpoint``."""
+    idx, _ = knn(cloud.xyz, cloud.mask, k, method=method, bucket_size=bucket_size)
+    cov, cnt = _neighborhood_cov(cloud.xyz, idx)
+    lam, vec = eigh3x3(cov)
+    normal = vec[..., 0]  # smallest eigenvector
+    vp = jnp.asarray(viewpoint, dtype=jnp.float32)
+    to_vp = vp[None, :] - cloud.xyz
+    flip = jnp.sum(normal * to_vp, axis=-1) < 0.0
+    normal = jnp.where(flip[:, None], -normal, normal)
+    # Degenerate neighborhoods (fewer than 3 points) -> zero normal.
+    ok = (cnt >= 3.0) & (lam[..., 2] > 1e-12)
+    normal = jnp.where(ok[:, None], normal, 0.0)
+    return cloud.with_channel("normal", normal)
+
+
+def estimate_covariances(
+    cloud: PointCloud,
+    k: int = 10,
+    regularize: bool = True,
+    epsilon: float = 1e-3,
+    method: str = "auto",
+    bucket_size: Optional[float] = None,
+) -> PointCloud:
+    """Adds a 'covariance' channel [N, 3, 3] (GICP-style). With
+    ``regularize``, eigenvalues are flattened to (eps, 1, 1) along the
+    principal axes — the standard plane-to-plane regularization."""
+    idx, _ = knn(cloud.xyz, cloud.mask, k, method=method, bucket_size=bucket_size)
+    cov, cnt = _neighborhood_cov(cloud.xyz, idx)
+    if regularize:
+        lam, vec = eigh3x3(cov)
+        # Replace eigenvalues by (eps, 1, 1) in ascending-order slots.
+        new_lam = jnp.stack(
+            [
+                jnp.full(lam.shape[:-1], epsilon, dtype=cov.dtype),
+                jnp.ones(lam.shape[:-1], dtype=cov.dtype),
+                jnp.ones(lam.shape[:-1], dtype=cov.dtype),
+            ],
+            axis=-1,
+        )
+        cov = jnp.einsum(
+            "...ik,...k,...jk->...ij", vec, new_lam, vec
+        )
+    ok = cnt >= 3.0
+    eye = jnp.eye(3, dtype=cov.dtype)
+    cov = jnp.where(ok[:, None, None], cov, eye)
+    return cloud.with_channel("covariance", cov)

@@ -1,0 +1,218 @@
+"""Batch DEM pipeline + search + normal-estimation tests (mirrors reference
+tests/test_rasterization.cpp buildDEM cases and nanoPCL search/geometry
+suites at behavior level)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastdem_tpu.cloud import filters as pcf
+from fastdem_tpu.cloud import normals as nrm
+from fastdem_tpu.cloud import pointcloud as pc
+from fastdem_tpu.cloud import search
+from fastdem_tpu.config.config import RasterMethod
+from fastdem_tpu.grid.gridmap import layers
+from fastdem_tpu.mapping import batch
+
+
+def ground_with_canopy(rng, n_ground=2000, n_canopy=200):
+    g = np.column_stack(
+        [
+            rng.uniform(-5, 5, n_ground),
+            rng.uniform(-5, 5, n_ground),
+            rng.normal(0.0, 0.02, n_ground),
+        ]
+    )
+    c = np.column_stack(
+        [
+            rng.uniform(-5, 5, n_canopy),
+            rng.uniform(-5, 5, n_canopy),
+            rng.normal(5.0, 0.1, n_canopy),
+        ]
+    )
+    return np.vstack([g, c]).astype(np.float32)
+
+
+class TestSearch:
+    def test_knn_brute_exact(self, rng):
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        cloud = pc.from_numpy(pts)
+        idx, dist = search.knn_brute(cloud.xyz, cloud.mask, 3)
+        # Cross-check one query against numpy.
+        q = 7
+        d = np.linalg.norm(pts - pts[q], axis=1)
+        d[q] = np.inf
+        expect = np.sort(d)[:3]
+        np.testing.assert_allclose(np.sort(np.asarray(dist[q])), expect, rtol=1e-4)
+
+    def test_knn_excludes_self(self, rng):
+        pts = rng.normal(size=(50, 3)).astype(np.float32)
+        cloud = pc.from_numpy(pts)
+        idx, _ = search.knn_brute(cloud.xyz, cloud.mask, 2)
+        for i in range(50):
+            assert i not in np.asarray(idx[i])
+
+    def test_bucket_grid_radius_count(self):
+        pts = np.array(
+            [[0, 0, 0], [0.05, 0, 0], [0.0, 0.05, 0], [2, 2, 2]],
+            dtype=np.float32,
+        )
+        cloud = pc.from_numpy(pts)
+        grid = search.BucketGrid(cloud.xyz, cloud.mask, 0.1)
+        cnt = grid.radius_count(
+            cloud.xyz, 0.1,
+            exclude_self_idx=jnp.arange(4, dtype=jnp.int32),
+        )
+        assert int(cnt[0]) == 2
+        assert int(cnt[3]) == 0
+
+    def test_bucket_knn_close_to_brute(self, rng):
+        pts = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+        cloud = pc.from_numpy(pts)
+        _, d_brute = search.knn_brute(cloud.xyz, cloud.mask, 4)
+        grid = search.BucketGrid(cloud.xyz, cloud.mask, 0.4)
+        _, d_bucket = grid.knn(
+            cloud.xyz, 4, per_bucket=16,
+            exclude_self_idx=jnp.arange(500, dtype=jnp.int32),
+        )
+        # Bucketed kNN is approximate; most distances should match.
+        close = np.isclose(
+            np.asarray(d_brute), np.asarray(d_bucket), rtol=1e-3
+        ).mean()
+        assert close > 0.9
+
+
+class TestOutlierRemoval:
+    def test_sor_removes_isolated_point(self, rng):
+        pts = rng.normal(scale=0.2, size=(300, 3)).astype(np.float32)
+        pts = np.vstack([pts, [[50.0, 50.0, 50.0]]]).astype(np.float32)
+        cloud = pc.from_numpy(pts)
+        out = pcf.statistical_outlier_removal(cloud, k=10, std_mul=1.0)
+        assert not bool(out.mask[300])
+        assert out.count() > 250
+
+    def test_radius_outlier_removal(self):
+        pts = np.array(
+            [[0, 0, 0], [0.05, 0, 0], [0.07, 0.01, 0], [9, 9, 9]],
+            dtype=np.float32,
+        )
+        cloud = pc.from_numpy(pts)
+        out = pcf.radius_outlier_removal(cloud, radius=0.2, min_neighbors=1)
+        assert out.count() == 3
+        assert not bool(out.mask[3])
+
+
+class TestNormals:
+    def test_flat_plane_normals_up(self, rng):
+        xy = rng.uniform(-1, 1, size=(300, 2))
+        pts = np.column_stack([xy, np.zeros(300)]).astype(np.float32)
+        cloud = pc.from_numpy(pts)
+        out = nrm.estimate_normals(cloud, k=8, viewpoint=(0, 0, 10.0))
+        n = np.asarray(out.channels["normal"])
+        nz = np.abs(n[:, 2])
+        assert np.mean(nz > 0.99) > 0.95
+        # Oriented toward the viewpoint above the plane.
+        assert np.mean(n[:, 2] > 0) > 0.95
+
+    def test_covariances_regularized(self, rng):
+        xy = rng.uniform(-1, 1, size=(200, 2))
+        pts = np.column_stack([xy, 0.01 * xy[:, 0]]).astype(np.float32)
+        cloud = pc.from_numpy(pts)
+        out = nrm.estimate_covariances(cloud, k=8)
+        cov = np.asarray(out.channels["covariance"])
+        eig = np.linalg.eigvalsh(cov)
+        # Plane-to-plane regularization: eigenvalues ~ (eps, 1, 1).
+        np.testing.assert_allclose(eig[:, 2], 1.0, atol=0.05)
+        assert np.all(eig[:, 0] < 0.1)
+
+
+class TestBatchDEM:
+    def test_from_pointcloud_methods(self, rng):
+        pts = np.array(
+            [[0.05, 0.05, 1.0], [0.05, 0.05, 3.0], [0.05, 0.05, 2.0]],
+            dtype=np.float32,
+        )
+        cloud = pc.from_numpy(pts)
+        geom, state = batch.from_pointcloud_auto(cloud, 1.0, RasterMethod.MAX)
+        elev = np.asarray(state.layers[layers.elevation])
+        assert np.nanmax(elev) == pytest.approx(3.0)
+        _, state = batch.from_pointcloud_auto(cloud, 1.0, RasterMethod.MIN)
+        assert np.nanmin(np.asarray(state.layers[layers.elevation])) == (
+            pytest.approx(1.0)
+        )
+        _, state = batch.from_pointcloud_auto(cloud, 1.0, RasterMethod.MEAN)
+        vals = np.asarray(state.layers[layers.elevation])
+        assert np.nanmax(vals) == pytest.approx(2.0, rel=1e-5)
+
+    def test_auto_geometry_covers_points(self, rng):
+        pts = rng.uniform(-3, 7, size=(500, 3)).astype(np.float32)
+        cloud = pc.from_numpy(pts)
+        geom, state = batch.from_pointcloud_auto(cloud, 0.5)
+        n = np.asarray(state.layers[layers.n_points])
+        assert np.nansum(n) == 500  # every point inside the auto bbox
+
+    def test_remove_floating_points(self, rng):
+        pts = ground_with_canopy(rng)
+        cloud = pc.from_numpy(pts)
+        geom, position = batch.bbox_geometry(pts, np.ones(len(pts), bool), 0.5)
+        out = batch.remove_floating_points(
+            cloud, geom, position, height_threshold=2.0, bin_size=0.5
+        )
+        kept = np.asarray(out.mask)
+        assert kept[:2000].mean() > 0.99  # ground kept
+        assert kept[2000:].mean() < 0.05  # canopy removed
+
+    def test_build_dem_pipeline(self, rng):
+        pts = ground_with_canopy(rng)
+        cloud = pc.from_numpy(pts)
+        geom, state = batch.build_dem(
+            cloud, batch.DEMConfig(resolution=0.5)
+        )
+        elev = np.asarray(state.layers[layers.elevation])
+        finite = np.isfinite(elev)
+        assert finite.mean() > 0.8  # inpainted coverage
+        assert abs(np.nanmedian(elev)) < 0.2  # canopy didn't leak into DEM
+
+    def test_round_trip_to_pointcloud(self, rng):
+        pts = ground_with_canopy(rng, n_canopy=0)
+        cloud = pc.from_numpy(pts)
+        geom, state = batch.build_dem(
+            cloud, batch.DEMConfig(resolution=0.5, inpaint_iterations=0)
+        )
+        out = batch.to_pointcloud(geom, state)
+        assert out.count() > 100
+        z = np.asarray(out.xyz)[:, 2]
+        assert np.abs(np.median(z)) < 0.2
+
+
+class TestCli:
+    def test_pcd2dem_cli(self, rng, tmp_path):
+        import subprocess
+        import sys
+
+        from fastdem_tpu.io import pcd as pcd_io
+
+        pts = ground_with_canopy(rng, n_ground=800, n_canopy=50)
+        cloud = pc.from_numpy(pts)
+        src = str(tmp_path / "in.pcd")
+        dst = str(tmp_path / "out.pcd")
+        npz = str(tmp_path / "m.npz")
+        pcd_io.save_pcd(src, cloud)
+        env = dict(
+            __import__("os").environ,
+            JAX_PLATFORMS="cpu",
+            PYTHONPATH="/root/repo:/root/.axon_site",
+        )
+        r = subprocess.run(
+            [sys.executable, "tools/pcd2dem.py", src, dst, "0.5", "--npz", npz,
+             "--platform", "cpu"],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr
+        back = pcd_io.load_pcd(dst)
+        assert back.count() > 50
+        from fastdem_tpu.io.npz import load_npz
+
+        geom, state, meta = load_npz(npz)
+        assert layers.elevation in state.layers

@@ -18,7 +18,7 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-K = 100  # chained iterations
+K = 20  # chained iterations
 
 
 def chained_ms(make_body, init, xs=None, reps=3):
@@ -52,7 +52,7 @@ def main():
     bw = 2 * big.size * 4 / (ms * 1e-3) / 1e9
     print(f"calibration: 64MB elementwise {ms:7.3f} ms/iter (~{bw:.0f} GB/s)")
 
-    for n in (30_000, 300_000, 3_000_000, 12_000_000, 36_000_000):
+    for n in (30_000, 300_000, 3_000_000):
         ids = jnp.asarray(rng.integers(0, C, n).astype(np.int32))
         vals = jnp.asarray(rng.normal(size=n).astype(np.float32))
 
@@ -120,6 +120,46 @@ def main():
 
     ms = chained_ms(body_stencil, g)
     print(f"3x3 window median 150x150: {ms:8.3f} ms/iter")
+
+    # Segmented suffix-min via associative_scan (scatter-free rasterize core)
+    n = 30_000
+    ids_s = jnp.sort(jnp.asarray(rng.integers(0, C, n).astype(np.int32)))
+    vals2 = jnp.asarray(rng.normal(size=n).astype(np.float32))
+
+    def body_seg_scan(carry):
+        acc, salt = carry
+
+        def comb(a, b):
+            av, aid = a
+            bv, bid = b
+            v = jnp.where(aid == bid, jnp.minimum(av, bv), bv)
+            return (v, bid)
+
+        out, _ = jax.lax.associative_scan(comb, (vals2 + salt, ids_s))
+        return (acc + out[-1], salt + 1.0)
+
+    ms = chained_ms(body_seg_scan, (jnp.float32(0.0), jnp.float32(0.0)))
+    print(f"assoc_scan segmin 30K: {ms:8.3f} ms/iter")
+
+    queries = jnp.arange(C, dtype=jnp.int32)
+
+    def body_ss(carry):
+        acc, salt = carry
+        pos = jnp.searchsorted(ids_s, queries + salt)
+        return (acc + pos[0], salt + 0)
+
+    ms = chained_ms(body_ss, (jnp.int32(0), jnp.int32(0)))
+    print(f"searchsorted 22.5K into 30K: {ms:8.3f} ms/iter")
+
+    # Gather 22.5K
+    def body_gather(carry):
+        acc, salt = carry
+        g = vals2[jnp.clip(queries + salt, 0, n - 1)]
+        return (acc + g.sum(), salt + 1)
+
+    ms = chained_ms(body_gather, (jnp.float32(0.0), jnp.int32(0)))
+    print(f"gather 22.5K: {ms:8.3f} ms/iter")
+
 
 
 if __name__ == "__main__":
