@@ -145,3 +145,59 @@ def slerp(q0: jnp.ndarray, q1: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     w1 = jnp.where(sin_theta > 1e-6, jnp.sin(t * theta) / sin_theta, t)
     q = w0 * q0[None, :] + w1 * q1[None, :]
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def so3_exp(omega: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: axis-angle 3-vector -> rotation matrix."""
+    theta = jnp.linalg.norm(omega)
+    small = theta < 1e-8
+    theta_safe = jnp.where(small, 1.0, theta)
+    k = omega / theta_safe
+    K = jnp.array(
+        [
+            [0.0, -k[2], k[1]],
+            [k[2], 0.0, -k[0]],
+            [-k[1], k[0], 0.0],
+        ],
+        dtype=jnp.float32,
+    )
+    R = (
+        jnp.eye(3, dtype=jnp.float32)
+        + jnp.sin(theta) * K
+        + (1.0 - jnp.cos(theta)) * (K @ K)
+    )
+    # First-order fallback near zero.
+    K0 = jnp.array(
+        [
+            [0.0, -omega[2], omega[1]],
+            [omega[2], 0.0, -omega[0]],
+            [-omega[1], omega[0], 0.0],
+        ],
+        dtype=jnp.float32,
+    )
+    return jnp.where(small, jnp.eye(3, dtype=jnp.float32) + K0, R)
+
+
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """Twist (tx, ty, tz, wx, wy, wz) -> 4x4 transform (rotation applied
+    about the origin; translation added directly — the Gauss-Newton update
+    convention used by the registration solver)."""
+    T = jnp.eye(4, dtype=jnp.float32)
+    T = T.at[:3, :3].set(so3_exp(xi[3:]))
+    T = T.at[:3, 3].set(xi[:3])
+    return T
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> axis-angle vector."""
+    cos_theta = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    sin_theta = jnp.sin(theta)
+    v = jnp.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]],
+        dtype=jnp.float32,
+    )
+    scale = jnp.where(
+        jnp.abs(sin_theta) > 1e-8, theta / (2.0 * sin_theta), 0.5
+    )
+    return scale * v

@@ -216,3 +216,69 @@ class TestCli:
 
         geom, state, meta = load_npz(npz)
         assert layers.elevation in state.layers
+
+
+class TestRegistration:
+    """Registration tests (behavior level of nanoPCL registration suite)."""
+
+    def make_pair(self, rng, n=600):
+        from fastdem_tpu.cloud import transform as tfm
+
+        # Structured scene: two walls + ground (well-constrained in 6DoF).
+        g = np.column_stack(
+            [rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), np.zeros(n)]
+        )
+        w1 = np.column_stack(
+            [rng.uniform(-2, 2, n // 2), np.full(n // 2, 2.0),
+             rng.uniform(0, 1, n // 2)]
+        )
+        w2 = np.column_stack(
+            [np.full(n // 2, -2.0), rng.uniform(-2, 2, n // 2),
+             rng.uniform(0, 1, n // 2)]
+        )
+        tgt = np.vstack([g, w1, w2]).astype(np.float32)
+        T_true = np.asarray(
+            tfm.from_rpy(0.02, -0.015, 0.05, t=[0.1, -0.07, 0.04])
+        )
+        src = (tgt @ np.asarray(T_true)[:3, :3].T + T_true[:3, 3]).astype(
+            np.float32
+        )
+        # src = T_true * tgt  ->  aligning src onto tgt recovers inv(T_true)
+        return src, tgt, np.linalg.inv(T_true)
+
+    @pytest.mark.parametrize("method", ["icp", "point_to_plane", "gicp", "vgicp"])
+    def test_align_recovers_transform(self, rng, method):
+        from fastdem_tpu.cloud import registration as reg
+
+        src, tgt, T_expect = self.make_pair(rng)
+        res = reg.align(
+            pc.from_numpy(src),
+            pc.from_numpy(tgt),
+            method=method,
+            max_iterations=40,
+            max_correspondence_distance=1.0,
+            voxel_size=0.4,
+        )
+        err_t = np.linalg.norm(res.T[:3, 3] - T_expect[:3, 3])
+        err_R = np.linalg.norm(res.T[:3, :3] - T_expect[:3, :3])
+        tol_t = 0.08 if method == "vgicp" else 0.03
+        assert err_t < tol_t, (method, res.T, T_expect, res.iterations)
+        assert err_R < 0.05, (method, err_R)
+
+    def test_robust_kernel_with_outliers(self, rng):
+        from fastdem_tpu.cloud import registration as reg
+
+        src, tgt, T_expect = self.make_pair(rng)
+        n_out = 100
+        outliers = rng.uniform(-8, 8, size=(n_out, 3)).astype(np.float32)
+        src_o = np.vstack([src, outliers])
+        res = reg.align(
+            pc.from_numpy(src_o),
+            pc.from_numpy(tgt),
+            method="icp",
+            kernel="huber",
+            kernel_scale=0.3,
+            max_iterations=40,
+        )
+        err_t = np.linalg.norm(res.T[:3, 3] - T_expect[:3, 3])
+        assert err_t < 0.06
