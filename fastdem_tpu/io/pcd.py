@@ -29,8 +29,21 @@ _FIELD_DTYPES = {
 }
 
 
-def load_pcd(path: str, capacity: Optional[int] = None) -> PointCloud:
-    """Load a PCD v0.7 file (ascii or binary)."""
+def load_pcd(
+    path: str, capacity: Optional[int] = None, use_native: bool = True
+) -> PointCloud:
+    """Load a PCD v0.7 file (ascii or binary).
+
+    Uses the C++ parser (fastdem_tpu.native) when a toolchain is available;
+    falls back to the pure-Python reader.
+    """
+    if use_native:
+        from fastdem_tpu import native
+
+        out = native.load_pcd(path)
+        if out is not None:
+            xyz, channels = out
+            return from_numpy(xyz, capacity=capacity, **channels)
     with open(path, "rb") as f:
         header: Dict[str, List[str]] = {}
         data_mode = None
@@ -99,9 +112,27 @@ def load_pcd(path: str, capacity: Optional[int] = None) -> PointCloud:
     return from_numpy(xyz, capacity=capacity, **channels)
 
 
-def save_pcd(path: str, cloud: PointCloud, binary: bool = True) -> bool:
+def save_pcd(
+    path: str, cloud: PointCloud, binary: bool = True, use_native: bool = True
+) -> bool:
     """Save the valid points of a cloud as PCD v0.7."""
     keep = np.asarray(cloud.mask)
+    if binary and use_native and "normal" not in cloud.channels:
+        from fastdem_tpu import native
+
+        if native.available():
+            xyz_n = np.asarray(cloud.xyz, np.float32)[keep]
+            inten = (
+                np.asarray(cloud.channels["intensity"], np.float32)[keep]
+                if "intensity" in cloud.channels
+                else None
+            )
+            rgb = (
+                np.asarray(cloud.channels["color"], np.uint8)[keep]
+                if "color" in cloud.channels
+                else None
+            )
+            return native.save_pcd(path, xyz_n, inten, rgb)
     xyz = np.asarray(cloud.xyz, dtype=np.float32)[keep]
     n = xyz.shape[0]
     fields = ["x", "y", "z"]
@@ -159,9 +190,18 @@ def save_pcd(path: str, cloud: PointCloud, binary: bool = True) -> bool:
     return True
 
 
-def load_kitti_bin(path: str, capacity: Optional[int] = None) -> PointCloud:
+def load_kitti_bin(
+    path: str, capacity: Optional[int] = None, use_native: bool = True
+) -> PointCloud:
     """KITTI velodyne .bin: N x (x, y, z, intensity) float32
     (nanopcl io/bin_io.hpp)."""
+    if use_native:
+        from fastdem_tpu import native
+
+        out = native.load_kitti(path)
+        if out is not None:
+            xyz, channels = out
+            return from_numpy(xyz, capacity=capacity, **channels)
     raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
     return from_numpy(
         raw[:, :3], capacity=capacity, intensity=raw[:, 3].copy()

@@ -220,3 +220,53 @@ class TestKittiTrajectory:
         np.savetxt(path, T[None])
         poses = pcd_io.load_trajectory_kitti(path)
         np.testing.assert_allclose(poses[0], np.eye(4))
+
+
+class TestNativeIO:
+    """Native C++ IO parity with the pure-Python implementations."""
+
+    def test_native_available(self):
+        from fastdem_tpu import native
+
+        # The image ships g++; the native path must build here.
+        assert native.available()
+
+    def test_native_python_parity_binary(self, rng, tmp_path):
+        xyz = rng.normal(size=(500, 3)).astype(np.float32)
+        inten = rng.uniform(size=500).astype(np.float32)
+        color = rng.integers(0, 256, size=(500, 3)).astype(np.uint8)
+        cloud = pc.from_numpy(xyz, intensity=inten, color=color)
+        p_native = str(tmp_path / "n.pcd")
+        p_python = str(tmp_path / "p.pcd")
+        assert pcd_io.save_pcd(p_native, cloud, use_native=True)
+        assert pcd_io.save_pcd(p_python, cloud, use_native=False)
+        a = pcd_io.load_pcd(p_native, use_native=True)
+        b = pcd_io.load_pcd(p_python, use_native=False)
+        np.testing.assert_allclose(np.asarray(a.xyz), np.asarray(b.xyz))
+        np.testing.assert_allclose(
+            np.asarray(a.channels["intensity"]),
+            np.asarray(b.channels["intensity"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.channels["color"]), np.asarray(b.channels["color"])
+        )
+
+    def test_native_reads_python_ascii(self, rng, tmp_path):
+        xyz = rng.normal(size=(50, 3)).astype(np.float32)
+        cloud = pc.from_numpy(xyz)
+        path = str(tmp_path / "a.pcd")
+        pcd_io.save_pcd(path, cloud, binary=False)
+        back = pcd_io.load_pcd(path, use_native=True)
+        np.testing.assert_allclose(np.asarray(back.xyz), xyz, atol=1e-5)
+
+    def test_native_kitti(self, rng, tmp_path):
+        xyz = rng.normal(size=(100, 3)).astype(np.float32)
+        inten = rng.uniform(size=100).astype(np.float32)
+        cloud = pc.from_numpy(xyz, intensity=inten)
+        path = str(tmp_path / "k.bin")
+        pcd_io.save_kitti_bin(path, cloud)
+        back = pcd_io.load_kitti_bin(path, use_native=True)
+        np.testing.assert_allclose(np.asarray(back.xyz), xyz)
+        np.testing.assert_allclose(
+            np.asarray(back.channels["intensity"]), inten
+        )
