@@ -16,12 +16,13 @@ replaced by a POLAR reduction that exploits the single shared ray origin:
      min-slope-of-rays-alive-at-r for every polar bin; a 2-bin range
      window min folds in rays that die inside a grid cell.
   3. Cartesian resampling: each cell reads h at its (azimuth, range); the
-     cell's angular footprint (wider near the sensor) is covered by a
-     sparse table (log2 A levels of circular window minima) so the min
-     over the span is two gathers.
+     cell's angular footprint (wider near the sensor) is covered by
+     per-range-column power-of-two azimuth smears (static masks) plus the
+     sparse-table two-half-window trick, so the min over the exact span
+     is two gathers per cell.
 
-The only irregular-memory ops are one N-sized scatter and one H*W-sized
-gather (XLA:TPU serializes those at ~10-30 ns/element — the naive
+The only irregular-memory ops are one N-sized scatter and two H*W-sized
+gathers (XLA:TPU serializes those at ~10-30 ns/element — the naive
 18M-sample scatter formulation cost ~160 ms/scan; this one is ~1 ms).
 
 Semantics parity (file:line refer to raycasting.cpp):
@@ -144,17 +145,24 @@ def ray_min_height_polar(
     h_prev1 = jnp.concatenate([h_polar[:, :1], h_polar[:, :-1]], axis=1)
     h_polar = jnp.minimum(h_polar, h_prev1)
 
-    # Sparse table over the (circular) azimuth axis.
-    levels = [h_polar]
-    span = 1
-    L = max(1, int(math.ceil(math.log2(A))))
-    for _ in range(L):
-        cur = levels[-1]
-        levels.append(jnp.minimum(cur, jnp.roll(cur, -span, axis=0)))
-        span *= 2
-    table = jnp.stack(levels)  # [L+1, A, R]
+    # Azimuth-smear the field with per-range-column windows.
+    # A cell at distance d spans an azimuth window w(d) that depends (for a
+    # fixed geometry) only on the range bin, so the smear level per column
+    # is STATIC: each column is smeared to the power-of-two window
+    # 2^floor(log2(w)) by doubling circular roll-mins with static column
+    # masks, and the exact window-w minimum comes from the classic
+    # sparse-table trick — two overlapping half-window gathers — without
+    # materializing an [L, A, R] table. ~9 dense masked passes + 2 gathers
+    # per cell (XLA:TPU gathers serialize, so gather count is the cost
+    # that matters).
+    lvl_static = _column_levels(geom, A, R, dr)  # np.int32[R]
+    smeared = h_polar
+    for k in range(int(np.max(lvl_static))):
+        colmask = jnp.asarray(lvl_static > k, dtype=bool)[None, :]
+        shifted = jnp.roll(smeared, -(1 << k), axis=0)
+        smeared = jnp.where(colmask, jnp.minimum(smeared, shifted), smeared)
 
-    # Cartesian resample at cell centers.
+    # Cartesian resample at cell centers: one gather per cell.
     cx, cy = geom.cell_centers(position)
     ddx = cx - sensor_origin[0]
     ddy = cy - sensor_origin[1]
@@ -165,33 +173,40 @@ def ray_min_height_polar(
     r_idx = jnp.clip(
         ((dist + geom.resolution * 0.5) / dr).astype(jnp.int32), 0, R - 1
     )
-    # Angular half-width of the cell footprint.
-    half_w = jnp.arctan2(geom.resolution * 0.6, jnp.maximum(dist, 1e-6))
+    # Per-cell window/level: the SAME formulas as the static column
+    # tables, evaluated elementwise (no gather needed to recover them).
+    d_cell = r_idx.astype(jnp.float32) * dr
+    half_w = jnp.arctan2(geom.resolution * 0.6, jnp.maximum(d_cell, 1e-6))
     w_bins = jnp.clip(
-        jnp.ceil(half_w / (2 * jnp.pi / A) * 2.0).astype(jnp.int32) + 1, 1, A
+        jnp.ceil(half_w / (2 * jnp.pi / A) * 2.0).astype(jnp.int32) + 1,
+        1,
+        A // 2,
     )
+    lvl_cell = jnp.floor(
+        jnp.log2(jnp.maximum(w_bins, 1).astype(jnp.float32))
+    ).astype(jnp.int32)
+    w_pow = jnp.left_shift(jnp.int32(1), lvl_cell)
     a_center = jnp.clip(
         jnp.floor((cell_az + jnp.pi) / (2 * jnp.pi) * A).astype(jnp.int32),
         0,
         A - 1,
     )
     a0 = jnp.mod(a_center - w_bins // 2, A)
-    # Sparse-table window min over [a0, a0 + w): level floor(log2(w)),
-    # combine the two (overlapping) half-windows.
-    lvl = jnp.clip(
-        jnp.floor(jnp.log2(jnp.maximum(w_bins, 1).astype(jnp.float32))).astype(
-            jnp.int32
-        ),
-        0,
-        L,
-    )
-    pow_lvl = jnp.left_shift(jnp.int32(1), lvl)
-    a1 = jnp.mod(a0 + jnp.maximum(w_bins - pow_lvl, 0), A)
-    g0 = table[lvl, a0, r_idx]
-    g1 = table[lvl, a1, r_idx]
-    h_cell = jnp.minimum(g0, g1)
+    a1 = jnp.mod(a0 + w_bins - w_pow, A)
+    h_cell = jnp.minimum(smeared[a0, r_idx], smeared[a1, r_idx])
     touched = jnp.isfinite(h_cell)
     return jnp.where(touched, h_cell, jnp.nan), touched
+
+
+def _column_levels(geom: GridGeometry, A: int, R: int, dr: float) -> np.ndarray:
+    """Static per-range-column smear levels floor(log2(w))."""
+    d = np.arange(R, dtype=np.float32) * dr
+    half_w = np.arctan2(geom.resolution * 0.6, np.maximum(d, 1e-6))
+    w = np.clip(
+        np.ceil(half_w / (2 * np.pi / A) * 2.0).astype(np.int32) + 1,
+        1, A // 2,
+    )
+    return np.floor(np.log2(np.maximum(w, 1))).astype(np.int32)
 
 
 def ray_min_height_sampled(
