@@ -1,0 +1,161 @@
+"""Multi-host runtime: jax.distributed bootstrap + sharded checkpointing.
+
+The reference is a single process (SURVEY.md sec. 5.8 — its only transport
+is ROS pub/sub at the application edge). Here the multi-host story is the
+standard JAX recipe: one process per host, ``jax.distributed.initialize``,
+a global 2D map mesh spanning all hosts' devices (parallel/sharding.py),
+and fully-addressable global arrays. ICI carries the halo exchanges that
+GSPMD inserts for stencil post-processing; DCN only carries scan input
+broadcast and checkpoint traffic.
+
+Usage (one command per host):
+  python -m fastdem_tpu.parallel.distributed --coordinator host0:1234 \
+      --num-processes 4 --process-id $RANK  # smoke-test entry point
+
+Library use:
+  init_distributed(coordinator, num_processes, process_id)
+  mesh = make_global_mesh()
+  step, shard = build_sharded_integrate(geom, cfg, mesh)
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the multi-process JAX runtime (no-op when single)."""
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_global_mesh(shape: Optional[Tuple[int, int]] = None):
+    """2D map mesh over ALL devices across hosts (jax.devices() is global
+    after init_distributed)."""
+    from fastdem_tpu.parallel.sharding import make_mesh
+
+    return make_mesh(shape=shape)
+
+
+def save_sharded_npz(path: str, geom, state, frame_id: str = "map") -> bool:
+    """Checkpoint a block-sharded global map.
+
+    Process 0 assembles the global layers (fully-addressable fetch) and
+    writes the standard npz schema, so sharded checkpoints stay readable by
+    the single-chip loader and the reference implementation alike. For maps
+    too large to assemble, save per-host shards with orbax instead.
+    """
+    import jax
+
+    from fastdem_tpu.grid.gridmap import GridMapState
+    from fastdem_tpu.io.npz import save_npz
+
+    gathered = GridMapState(
+        layers={
+            k: jax.device_get(v) for k, v in state.layers.items()
+        },
+        position=jax.device_get(state.position),
+    )
+    if jax.process_index() != 0:
+        return True
+    return save_npz(path, geom, gathered, frame_id=frame_id)
+
+
+def scaling_report(geom, cfg, scans: int = 16, points: int = 30000) -> dict:
+    """Measure scans/s unsharded vs sharded over the local mesh.
+
+    On a single chip this reports sharding overhead ~1.0x; on a multi-chip
+    slice it reports the scaling efficiency (BASELINE.md target: >= 80%
+    frames/s efficiency at N >= 2 hosts).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
+    from fastdem_tpu.parallel import sharding as sh
+
+    rng = np.random.default_rng(0)
+    n = points
+    xyz = jnp.asarray(
+        np.column_stack(
+            [
+                rng.uniform(-6, 6, n),
+                rng.uniform(-6, 6, n),
+                rng.normal(-1.0, 0.05, n),
+            ]
+        ).astype(np.float32)
+    )
+    mask = jnp.ones(n, dtype=bool)
+    T = jnp.eye(4)
+
+    def time_step(step, state):
+        state2, _ = step(state, xyz, mask, T, T)
+        jax.block_until_ready(state2.layers)
+        t0 = time.time()
+        s = state
+        for _ in range(scans):
+            s, _ = step(s, xyz, mask, T, T)
+        jax.block_until_ready(s.layers)
+        return (time.time() - t0) / scans
+
+    base_step = build_integrate(geom, cfg, donate=False)
+    t_single = time_step(base_step, create_map_state(geom, cfg))
+
+    mesh = sh.make_mesh()
+    stepN, shard = sh.build_sharded_integrate(geom, cfg, mesh, donate=False)
+    t_sharded = time_step(stepN, shard(create_map_state(geom, cfg)))
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    return {
+        "devices": n_dev,
+        "ms_single": t_single * 1e3,
+        "ms_sharded": t_sharded * 1e3,
+        "efficiency": t_single / (t_sharded * 1.0),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--map-size", type=float, default=50.0)
+    ap.add_argument("--resolution", type=float, default=0.1)
+    args = ap.parse_args()
+
+    import jax
+
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+    print(
+        f"process {jax.process_index()}/{jax.process_count()} "
+        f"local={jax.local_device_count()} global={jax.device_count()}"
+    )
+
+    from fastdem_tpu.config.config import Config, MappingMode
+    from fastdem_tpu.grid.geometry import GridGeometry
+
+    geom = GridGeometry.from_length(args.map_size, args.map_size, args.resolution)
+    cfg = Config()
+    cfg.mapping.mode = MappingMode.GLOBAL
+    rep = scaling_report(geom, cfg)
+    print(rep)
+
+
+if __name__ == "__main__":
+    main()

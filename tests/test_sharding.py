@@ -104,3 +104,54 @@ class TestDryrun:
         jax.block_until_ready(state.layers)
         elev = np.asarray(state.layers[layers.elevation])
         assert np.isfinite(elev).sum() > 0
+
+
+class TestDistributed:
+    def test_scaling_report_runs(self):
+        from fastdem_tpu.config.config import Config, MappingMode
+        from fastdem_tpu.parallel.distributed import scaling_report
+
+        geom = GridGeometry.from_length(12.8, 12.8, 0.2)
+        cfg = Config()
+        cfg.mapping.mode = MappingMode.GLOBAL
+        rep = scaling_report(geom, cfg, scans=3, points=2048)
+        assert rep["devices"] == 8
+        assert rep["ms_single"] > 0 and rep["ms_sharded"] > 0
+
+    def test_sharded_checkpoint(self, tmp_path):
+        import jax
+
+        from fastdem_tpu.config.config import Config, MappingMode
+        from fastdem_tpu.io.npz import load_npz
+        from fastdem_tpu.mapping.pipeline import create_map_state
+        from fastdem_tpu.parallel import sharding as sh
+        from fastdem_tpu.parallel.distributed import save_sharded_npz
+
+        geom = GridGeometry.from_length(16.0, 16.0, 0.5)
+        cfg = Config()
+        cfg.mapping.mode = MappingMode.GLOBAL
+        mesh = sh.make_mesh(8)
+        state = sh.shard_state(create_map_state(geom, cfg), mesh)
+        path = str(tmp_path / "sharded.npz")
+        assert save_sharded_npz(path, geom, state)
+        geom2, state2, _ = load_npz(path)
+        assert geom2 == geom
+
+
+class TestProfiling:
+    def test_stats_iqr(self):
+        from fastdem_tpu.utils.profiling import compute_stats
+
+        s = compute_stats([1.0, 1.1, 0.9, 1.05, 50.0])
+        assert s.n_outliers == 1
+        assert 0.9 <= s.mean <= 1.2
+
+    def test_benchmark_helper(self):
+        import jax.numpy as jnp
+
+        from fastdem_tpu.utils.profiling import benchmark, platform_info
+
+        x = jnp.zeros((64, 64))
+        st = benchmark(lambda: x + 1, warmup=1, reps=5)
+        assert st.mean >= 0
+        assert "device" in platform_info()
