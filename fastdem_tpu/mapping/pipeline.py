@@ -169,6 +169,8 @@ def build_integrate(
     jit: bool = True,
     donate: bool = True,
     ray_num_samples: Optional[int] = None,
+    ray_num_azimuth: int = 2048,
+    ray_range_bin_factor: float = 0.5,
 ):
     """Compile the per-scan integrate step.
 
@@ -243,6 +245,8 @@ def build_integrate(
                 sensor_origin,
                 cfg.raycasting,
                 obs_count=obs.voxel_count,
+                num_azimuth=ray_num_azimuth,
+                range_bin_factor=ray_range_bin_factor,
             )
 
         aux = IntegrateAux(

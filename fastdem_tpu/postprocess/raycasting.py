@@ -96,11 +96,12 @@ def ray_min_height_polar(
     ray_mask: jnp.ndarray,
     sensor_origin: jnp.ndarray,
     num_azimuth: int = 2048,
+    range_bin_factor: float = 0.5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-cell minimum ray height. Returns (min_height [H,W], touched)."""
     n = xyz.shape[0]
     A = num_azimuth
-    dr = geom.resolution * 0.5
+    dr = geom.resolution * range_bin_factor
     diag = math.hypot(geom.rows, geom.cols) * geom.resolution
     R = int(math.ceil(diag / dr)) + 2
 
@@ -255,6 +256,8 @@ def apply_raycasting(
     obs_count: Optional[jnp.ndarray] = None,
     method: str = "polar",
     num_samples: Optional[int] = None,
+    num_azimuth: int = 2048,
+    range_bin_factor: float = 0.5,
 ) -> GridMapState:
     """Apply one scan's visibility update.
 
@@ -291,7 +294,8 @@ def apply_raycasting(
     # ---- 2. Per-cell min ray height ----
     if method == "polar":
         ray_min, ray_touched = ray_min_height_polar(
-            geom, state.position, xyz, active, sensor_origin
+            geom, state.position, xyz, active, sensor_origin,
+            num_azimuth=num_azimuth, range_bin_factor=range_bin_factor,
         )
     else:
         ray_min, ray_touched = ray_min_height_sampled(

@@ -188,3 +188,96 @@ class TestDriver:
         assert got, "viz timer never published"
         assert got[0]["scan_count"] == 1
         assert not any(k.startswith("_") for k in got[0]["layers"])
+
+
+class TestBridge:
+    def make_state(self):
+        import jax.numpy as jnp
+
+        from fastdem_tpu.grid import gridmap
+        from fastdem_tpu.grid.geometry import GridGeometry
+
+        geom = GridGeometry.from_length(2.0, 2.0, 0.5)
+        fills = gridmap.default_layer_fills()
+        fills["variance"] = 0.0
+        fills["_internal_thing"] = 0.0
+        state = gridmap.create(geom, fills)
+        elev = jnp.full(geom.shape, jnp.nan).at[1, 1].set(0.5).at[2, 2].set(1.0)
+        return geom, state.replace_layer(layers.elevation, elev)
+
+    def test_structured_cloud(self):
+        from fastdem_tpu.runtime import bridge
+
+        geom, state = self.make_state()
+        arr = bridge.to_structured_cloud(geom, state)
+        assert arr.shape[0] == 2
+        assert "variance" in arr.dtype.names
+        assert "_internal_thing" not in arr.dtype.names
+        assert set(arr["z"]) == {0.5, 1.0}
+
+    def test_grid_message_excludes_internal(self):
+        from fastdem_tpu.runtime import bridge
+
+        geom, state = self.make_state()
+        msg = bridge.to_grid_message(geom, state)
+        assert "_internal_thing" not in msg["layers"]
+        assert msg["size"] == (4, 4)
+
+    def test_normal_markers(self):
+        import jax.numpy as jnp
+
+        from fastdem_tpu.runtime import bridge
+
+        geom, state = self.make_state()
+        nan = jnp.full(geom.shape, jnp.nan)
+        state = state.replace_layers(
+            {
+                layers.normal_x: nan.at[1, 1].set(0.0),
+                layers.normal_y: nan.at[1, 1].set(0.0),
+                layers.normal_z: nan.at[1, 1].set(1.0),
+            }
+        )
+        m = bridge.to_normal_markers(geom, state)
+        assert m["starts"].shape[0] == 1
+        np.testing.assert_allclose(
+            m["ends"][0, 2] - m["starts"][0, 2], 0.15, atol=1e-6
+        )
+
+    def test_boundary(self):
+        from fastdem_tpu.runtime import bridge
+
+        geom, state = self.make_state()
+        poly = bridge.to_map_boundary(geom, state)
+        assert poly.shape == (5, 2)
+        np.testing.assert_allclose(poly[0], poly[-1])
+
+
+class TestNodeConfig:
+    def test_load_preset(self):
+        from fastdem_tpu.runtime.node_config import NodeConfig
+
+        cfg = NodeConfig.load(
+            "fastdem_tpu/config/presets/local_mapping.yaml"
+        )
+        assert cfg.map.width == 15.0
+        assert cfg.pipeline.raycasting.enabled
+        assert cfg.postprocess.inpainting.enabled
+        assert cfg.normals_viz.stride == 2
+
+    def test_validation_throws(self):
+        from fastdem_tpu.runtime.node_config import NodeConfig
+
+        with pytest.raises(ValueError, match="map geometry"):
+            NodeConfig.parse({"map": {"width": -1.0}})
+        with pytest.raises(ValueError, match="input_scans"):
+            NodeConfig.parse({"topics": {"input_scans": []}})
+
+    def test_make_driver(self):
+        from fastdem_tpu.runtime.node_config import NodeConfig
+
+        cfg = NodeConfig.parse({"map": {"width": 4.0, "height": 4.0}})
+        d = cfg.make_driver()
+        try:
+            assert d.geom.rows == 40
+        finally:
+            d.close()
