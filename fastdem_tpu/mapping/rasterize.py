@@ -156,59 +156,84 @@ def rasterize_scatter(
     color_packed: Optional[jnp.ndarray] = None,
     with_voxel_count: bool = False,
 ) -> CellObservations:
-    """Direct scatter formulation (parity oracle / fallback)."""
+    """Direct scatter formulation.
+
+    XLA:TPU scatter has a large FIXED cost per op (~0.6 ms) on top of the
+    per-element serialization, so independent reductions are FUSED into
+    single scatter calls over a widened table: phase 1 reduces min(z) and
+    max(z) (as min(-z)) in one scatter; phase 2 — which needs phase 1's
+    minima for the argmin-carried variance/color — reduces variance,
+    -intensity, and color in a second single scatter.
+    """
     ncell = geom.num_cells
     shape = geom.shape
     ids, inside = geom.cell_id_of(position, xyz[:, :2])
     valid = mask & inside
     ids = jnp.where(valid, ids, ncell)
+    z = xyz[:, 2]
 
-    z = jnp.where(valid, xyz[:, 2], _INF)
-    min_z = (
-        jnp.full(ncell + 1, _INF, dtype=jnp.float32).at[ids].min(z)[:ncell]
+    # ---- Phase 1: min z and max z in ONE scatter over a [2C] table ----
+    stride = ncell + 1
+    ids2 = jnp.concatenate([ids, ids + stride])
+    vals2 = jnp.concatenate(
+        [jnp.where(valid, z, _INF), jnp.where(valid, -z, _INF)]
     )
-    z_neg = jnp.where(valid, xyz[:, 2], -_INF)
-    max_z = (
-        jnp.full(ncell + 1, -_INF, dtype=jnp.float32).at[ids].max(z_neg)[:ncell]
+    t1 = (
+        jnp.full(2 * stride, _INF, dtype=jnp.float32).at[ids2].min(vals2)
     )
+    min_z = t1[:ncell]
+    max_z = -t1[stride : stride + ncell]
     touched = jnp.isfinite(min_z)
 
     cell_min_at_pt = min_z[jnp.minimum(ids, ncell - 1)]
-    at_min = valid & (xyz[:, 2] == cell_min_at_pt)
-    var_cand = jnp.where(at_min, z_var, _INF)
-    min_z_var = (
-        jnp.full(ncell + 1, _INF, dtype=jnp.float32).at[ids].min(var_cand)[:ncell]
-    )
+    at_min = valid & (z == cell_min_at_pt)
 
+    # ---- Phase 2: variance@min, -intensity, color@min fused ----
+    lanes = [jnp.where(at_min, z_var, _INF)]
+    id_groups = [ids]
+    if intensity is not None:
+        lanes.append(jnp.where(valid, -intensity, _INF))
+        id_groups.append(ids + len(id_groups) * stride)
+    if color_packed is not None:
+        lanes.append(jnp.where(at_min, color_packed, _INF))
+        id_groups.append(ids + len(id_groups) * stride)
+    table_len = len(lanes) * stride
+    ZB = 32  # z-presence sub-bins per cell for the distinct-voxel count
+    if with_voxel_count:
+        # Distinct-z-voxel presence rides the same fused scatter: mark
+        # (cell, zbin mod ZB) slots with 0.0 and count marked slots per
+        # cell afterwards (a dense row-sum). Voxels exactly ZB bins apart
+        # alias — a rare undercount that only delays log-odds saturation.
+        zbin = jnp.floor(z / geom.resolution).astype(jnp.int32)
+        vox_ids = table_len + jnp.minimum(ids, ncell - 1) * ZB + (
+            zbin % ZB
+        )
+        vox_ids = jnp.where(valid, vox_ids, table_len + ncell * ZB)
+        lanes.append(jnp.zeros_like(z))
+        id_groups.append(vox_ids)
+        table_len += ncell * ZB + 1
+    ids_k = jnp.concatenate(id_groups)
+    vals_k = jnp.concatenate(lanes)
+    t2 = jnp.full(table_len, _INF, dtype=jnp.float32).at[ids_k].min(vals_k)
+    min_z_var = t2[:ncell]
+    lane = 1
     max_intensity = None
     if intensity is not None:
-        i_cand = jnp.where(valid, intensity, -_INF)
-        mi = (
-            jnp.full(ncell + 1, -_INF, dtype=jnp.float32)
-            .at[ids]
-            .max(i_cand)[:ncell]
-        )
+        mi = -t2[lane * stride : lane * stride + ncell]
         max_intensity = jnp.where(jnp.isfinite(mi), mi, jnp.nan).reshape(shape)
-
+        lane += 1
     color = None
     if color_packed is not None:
-        c_cand = jnp.where(at_min, color_packed, _INF)
-        c = (
-            jnp.full(ncell + 1, _INF, dtype=jnp.float32)
-            .at[ids]
-            .min(c_cand)[:ncell]
-        )
+        c = t2[lane * stride : lane * stride + ncell]
         color = jnp.where(jnp.isfinite(c), c, jnp.nan).reshape(shape)
-
+        lane += 1
     voxel_count = None
     if with_voxel_count:
-        from fastdem_tpu.cloud.filters import voxel_unique_mask
-
-        vm = voxel_unique_mask(xyz, valid, geom.resolution)
-        voxel_count = (
-            jnp.zeros(ncell + 1, dtype=jnp.float32)
-            .at[ids]
-            .add(vm.astype(jnp.float32))[:ncell]
+        vox_table = t2[lane * stride : lane * stride + ncell * ZB].reshape(
+            ncell, ZB
+        )
+        voxel_count = jnp.sum(vox_table == 0.0, axis=1).astype(
+            jnp.float32
         ).reshape(shape)
 
     return CellObservations(

@@ -64,10 +64,7 @@ def run_variant(name, **kw):
 def main():
     print("device:", jax.devices()[0], flush=True)
     run_variant("no-raycast", raycast=False)
-    run_variant("A=2048 dr=res/2 (current)")
-    run_variant("A=1024 dr=res/2", ray_num_azimuth=1024)
-    run_variant("A=2048 dr=res", ray_range_bin_factor=1.0)
-    run_variant("A=1024 dr=res", ray_num_azimuth=1024, ray_range_bin_factor=1.0)
+    run_variant("raycast A=2048 dr=res/2")
 
 
 if __name__ == "__main__":
