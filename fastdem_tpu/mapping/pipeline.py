@@ -210,9 +210,17 @@ def build_integrate(
         if local_mode:
             state = gridmap.move(geom, state, T_wb[:2, 3])
 
-        # Scatter formulation: one N-sized scatter per reduction beats the
-        # sort+searchsorted route on this backend (random access serializes
-        # at ~28 ns/elem; see tools/microbench.py results in BENCH notes).
+        # Fused-scatter formulation (scatter ops carry ~0.6 ms fixed cost
+        # on this backend): when raycasting is on, the polar slope scatter
+        # rides the rasterizer's phase-1 scatter.
+        extra = None
+        sensor_origin = T_ws[:3, 3]
+        if cfg.raycasting.enabled:
+            origin_inside = geom.is_inside(state.position, sensor_origin[:2])
+            extra = raycast.polar_scatter_spec(
+                geom, state.position, xyz_world, keep & origin_inside,
+                sensor_origin, ray_num_azimuth, ray_range_bin_factor,
+            )
         obs = raster.rasterize_scatter(
             geom,
             state.position,
@@ -222,6 +230,7 @@ def build_integrate(
             intensity=intensity,
             color_packed=color_packed,
             with_voxel_count=cfg.raycasting.enabled,
+            extra_min_scatter=extra,
         )
         state = _estimate(state, cfg, obs)
         state = _update_minmax(state, obs)
@@ -231,12 +240,12 @@ def build_integrate(
 
         # ---- 3. Raycasting (fastdem.cpp:152-159) ----
         if cfg.raycasting.enabled:
-            sensor_origin = T_ws[:3, 3]
             # Observed-evidence multiplicity comes from the rasterizer's
             # distinct-z-voxel counts (the reference voxel-downsamples the
             # scan first, src/fastdem.cpp:156-158); the polar reducer takes
             # all rays directly (dedup is unnecessary there — see
-            # postprocess/raycasting.py docstring).
+            # postprocess/raycasting.py docstring) and its slope table was
+            # already scattered in phase 1 (obs.extra).
             state = raycast.apply_raycasting(
                 geom,
                 state,
@@ -247,6 +256,7 @@ def build_integrate(
                 obs_count=obs.voxel_count,
                 num_azimuth=ray_num_azimuth,
                 range_bin_factor=ray_range_bin_factor,
+                polar_table=obs.extra,
             )
 
         aux = IntegrateAux(

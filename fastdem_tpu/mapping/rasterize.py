@@ -55,6 +55,8 @@ class CellObservations:
     # points: the raycaster's observed-evidence multiplicity (the reference
     # feeds it the voxel-downsampled scan, src/fastdem.cpp:156-158).
     voxel_count: Optional[jnp.ndarray] = None
+    # Fused-scatter rider output (see rasterize_scatter extra_min_scatter).
+    extra: Optional[jnp.ndarray] = None
 
 
 def rasterize(
@@ -155,6 +157,7 @@ def rasterize_scatter(
     intensity: Optional[jnp.ndarray] = None,
     color_packed: Optional[jnp.ndarray] = None,
     with_voxel_count: bool = False,
+    extra_min_scatter=None,
 ) -> CellObservations:
     """Direct scatter formulation.
 
@@ -164,6 +167,11 @@ def rasterize_scatter(
     max(z) (as min(-z)) in one scatter; phase 2 — which needs phase 1's
     minima for the argmin-carried variance/color — reduces variance,
     -intensity, and color in a second single scatter.
+
+    ``extra_min_scatter``: optional (ids, values, table_size) of an
+    unrelated min-reduction to ride phase 1 (the pipeline fuses the
+    raycaster's polar slope scatter here); its table lands in
+    ``CellObservations.extra``.
     """
     ncell = geom.num_cells
     shape = geom.shape
@@ -174,15 +182,22 @@ def rasterize_scatter(
 
     # ---- Phase 1: min z and max z in ONE scatter over a [2C] table ----
     stride = ncell + 1
-    ids2 = jnp.concatenate([ids, ids + stride])
-    vals2 = jnp.concatenate(
-        [jnp.where(valid, z, _INF), jnp.where(valid, -z, _INF)]
-    )
+    id1 = [ids, ids + stride]
+    v1 = [jnp.where(valid, z, _INF), jnp.where(valid, -z, _INF)]
+    t1_len = 2 * stride
+    if extra_min_scatter is not None:
+        e_ids, e_vals, e_size = extra_min_scatter
+        id1.append(e_ids + t1_len)
+        v1.append(e_vals)
+        t1_len += e_size
     t1 = (
-        jnp.full(2 * stride, _INF, dtype=jnp.float32).at[ids2].min(vals2)
+        jnp.full(t1_len, _INF, dtype=jnp.float32)
+        .at[jnp.concatenate(id1)]
+        .min(jnp.concatenate(v1))
     )
     min_z = t1[:ncell]
     max_z = -t1[stride : stride + ncell]
+    extra = t1[2 * stride : t1_len - 1] if extra_min_scatter is not None else None
     touched = jnp.isfinite(min_z)
 
     cell_min_at_pt = min_z[jnp.minimum(ids, ncell - 1)]
@@ -244,6 +259,7 @@ def rasterize_scatter(
         max_intensity=max_intensity,
         color=color,
         voxel_count=voxel_count,
+        extra=extra,
     )
 
 

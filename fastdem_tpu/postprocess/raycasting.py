@@ -89,7 +89,15 @@ def _clip_exit(
     return jnp.clip(t_exit, 0.0, 1.0)
 
 
-def ray_min_height_polar(
+def polar_dims(geom: GridGeometry, num_azimuth: int, range_bin_factor: float):
+    A = num_azimuth
+    dr = geom.resolution * range_bin_factor
+    diag = math.hypot(geom.rows, geom.cols) * geom.resolution
+    R = int(math.ceil(diag / dr)) + 2
+    return A, R, dr
+
+
+def polar_scatter_spec(
     geom: GridGeometry,
     position: jnp.ndarray,
     xyz: jnp.ndarray,
@@ -97,14 +105,12 @@ def ray_min_height_polar(
     sensor_origin: jnp.ndarray,
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-cell minimum ray height. Returns (min_height [H,W], touched)."""
-    n = xyz.shape[0]
-    A = num_azimuth
-    dr = geom.resolution * range_bin_factor
-    diag = math.hypot(geom.rows, geom.cols) * geom.resolution
-    R = int(math.ceil(diag / dr)) + 2
-
+):
+    """The polar slope-scatter inputs, exposed so the pipeline can FUSE
+    this scatter with the rasterizer's (scatter ops carry a large fixed
+    cost on TPU). Returns (ids in [0, A*R] with A*R the dump slot,
+    values, table_size A*R+1)."""
+    A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor)
     dxy = xyz[:, :2] - sensor_origin[:2]
     dz = xyz[:, 2] - sensor_origin[2]
     len2d = jnp.linalg.norm(dxy, axis=1)
@@ -122,18 +128,42 @@ def ray_min_height_polar(
     # within half a bin of the true exit, halving the |slope|*dr endpoint
     # quantization error of the DDA's exit-height record.
     rbin_exit = jnp.clip(jnp.round(d_exit / dr).astype(jnp.int32), 0, R - 1)
-
-    # One small scatter-min of slopes into the polar (azimuth, exit) grid,
-    # then a dense reverse cumulative min along the range axis gives
-    # min-slope-of-rays-alive-at-r for every polar bin. (XLA:TPU serializes
-    # gather/scatter, so the single N-sized scatter + dense scans beat any
-    # searchsorted/gather formulation.)
     key = jnp.where(valid, abin * R + rbin_exit, A * R)
-    scat = (
-        jnp.full(A * R + 1, _INF, dtype=jnp.float32)
-        .at[key]
-        .min(jnp.where(valid, slope, _INF))[: A * R]
-    ).reshape(A, R)
+    return key, jnp.where(valid, slope, _INF), A * R + 1
+
+
+def ray_min_height_polar(
+    geom: GridGeometry,
+    position: jnp.ndarray,
+    xyz: jnp.ndarray,
+    ray_mask: jnp.ndarray,
+    sensor_origin: jnp.ndarray,
+    num_azimuth: int = 2048,
+    range_bin_factor: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-cell minimum ray height. Returns (min_height [H,W], touched)."""
+    key, vals, size = polar_scatter_spec(
+        geom, position, xyz, ray_mask, sensor_origin, num_azimuth,
+        range_bin_factor,
+    )
+    table = jnp.full(size, _INF, dtype=jnp.float32).at[key].min(vals)
+    return polar_resample(
+        geom, position, sensor_origin, table[: size - 1], num_azimuth,
+        range_bin_factor,
+    )
+
+
+def polar_resample(
+    geom: GridGeometry,
+    position: jnp.ndarray,
+    sensor_origin: jnp.ndarray,
+    scat_flat: jnp.ndarray,
+    num_azimuth: int = 2048,
+    range_bin_factor: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Continue from the scattered [A*R] min slopes to per-cell heights."""
+    A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor)
+    scat = scat_flat.reshape(A, R)
     ms = jax.lax.associative_scan(jnp.minimum, scat, axis=1, reverse=True)
     d_r = jnp.arange(R, dtype=jnp.float32)[None, :] * dr
     h_polar = jnp.where(
@@ -258,6 +288,7 @@ def apply_raycasting(
     num_samples: Optional[int] = None,
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
+    polar_table: Optional[jnp.ndarray] = None,
 ) -> GridMapState:
     """Apply one scan's visibility update.
 
@@ -265,6 +296,8 @@ def apply_raycasting(
     from the rasterizer; computed here via a scatter when absent
     (standalone use). ``xyz``/``scan_mask`` is the scan in the world frame;
     when obs_count is None, the mask should already be voxel-downsampled.
+    ``polar_table``: pre-scattered [A*R] min-slope table (the pipeline
+    fuses that scatter with the rasterizer's — see polar_scatter_spec).
     """
     ncell = geom.num_cells
     shape = geom.shape
@@ -292,7 +325,12 @@ def apply_raycasting(
     )
 
     # ---- 2. Per-cell min ray height ----
-    if method == "polar":
+    if method == "polar" and polar_table is not None:
+        ray_min, ray_touched = polar_resample(
+            geom, state.position, sensor_origin, polar_table,
+            num_azimuth=num_azimuth, range_bin_factor=range_bin_factor,
+        )
+    elif method == "polar":
         ray_min, ray_touched = ray_min_height_polar(
             geom, state.position, xyz, active, sensor_origin,
             num_azimuth=num_azimuth, range_bin_factor=range_bin_factor,
