@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """FastDEM-TPU benchmark. Prints ONE JSON line with the headline metric.
 
-Flagship config = the reference's own benchmark setting (README.md:41,53-59):
+Headline config = the reference's own benchmark setting (README.md:41,53-59):
 VLP-16-scale scans (~30K pts) into a 15x15 m @ 0.1 m robot-centric LOCAL map,
 Kalman estimator + LiDAR noise model, raycasting enabled. Reference baseline:
 ~10 ms/scan on a Jetson Orin CPU (BASELINE.md).
@@ -9,10 +9,11 @@ Kalman estimator + LiDAR noise model, raycasting enabled. Reference baseline:
 Measurement: the per-scan integrate step is chained K times inside one jitted
 lax.scan over pre-staged device-resident scans, so the number reflects pure
 device throughput (the production serving shape: scans stream into HBM and
-dispatch is pipelined). Per-dispatch latency is reported on stderr for
-context.
+dispatch is pipelined). Per-dispatch latency and the other BASELINE.md
+configs (P2 estimator, RGB-D dense cloud, postprocess chain, sharded global
+map) are reported on stderr with --all.
 
-Usage: python bench.py [--scans K] [--points N] [--no-raycast]
+Usage: python bench.py [--scans K] [--points N] [--no-raycast] [--all]
 """
 
 import argparse
@@ -23,50 +24,22 @@ import time
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scans", type=int, default=64)
-    ap.add_argument("--points", type=int, default=30000)
-    ap.add_argument("--no-raycast", action="store_true")
-    ap.add_argument("--global-map", action="store_true")
-    args = ap.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-
-    sys.path.insert(0, ".")
-    from fastdem_tpu import Config, GridGeometry, MappingMode
-    from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
-
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
-
-    geom = GridGeometry.from_length(15.0, 15.0, 0.1)
-    cfg = Config()
-    cfg.mapping.mode = MappingMode.GLOBAL if args.global_map else MappingMode.LOCAL
-    cfg.raycasting.enabled = not args.no_raycast
-
-    # VLP-16-like scans: 16 rings, uniform azimuth, bumpy ground at z=-1.
-    rng = np.random.default_rng(0)
-    K, N = args.scans, args.points
+def make_scans(K, N, rng, spread=7.2):
     ang = rng.uniform(0, 2 * np.pi, (K, N))
-    rad = rng.uniform(0.5, 7.2, (K, N))
+    rad = rng.uniform(0.5, spread, (K, N))
     x = rad * np.cos(ang)
     y = rad * np.sin(ang)
     z = 0.2 * np.sin(0.8 * x) * np.cos(0.6 * y) - 1.0 + rng.normal(
         0, 0.02, (K, N)
     )
-    scans = jnp.asarray(
-        np.stack([x, y, z], axis=-1).astype(np.float32)
-    )  # [K, N, 3]
-    masks = jnp.ones((K, N), dtype=bool)
-    T_bs = jnp.eye(4).at[2, 3].set(1.0)
-    # Robot wanders slowly (exercises LOCAL move each scan).
-    tx = jnp.asarray(
-        np.cumsum(rng.normal(0, 0.05, K)).astype(np.float32)
-    )
+    return np.stack([x, y, z], axis=-1).astype(np.float32)
 
-    step = build_integrate(geom, cfg, jit=False)
+
+def chain_time(step, state, scans, masks, tx, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    T_bs = jnp.eye(4).at[2, 3].set(1.0)
 
     def body(state, inp):
         xyz, mask, txi = inp
@@ -79,44 +52,132 @@ def main():
         state, _ = jax.lax.scan(body, state, (scans, masks, tx))
         return state
 
-    state = create_map_state(geom, cfg)
-    # Warm-up / compile.
     t0 = time.time()
     out = run(state, scans, masks, tx)
     jax.block_until_ready(out.layers)
-    print(f"compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
-
-    # Timed: 3 repetitions of the K-scan chain.
-    reps = 3
+    compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(reps):
         out = run(state, scans, masks, tx)
-        jax.block_until_ready(out.layers)
-    total = time.time() - t0
-    ms_per_scan = total / (reps * K) * 1e3
+    jax.block_until_ready(out.layers)
+    K = scans.shape[0]
+    return (time.time() - t0) / (reps * K) * 1e3, compile_s
 
-    # Per-dispatch latency (single-step jit, donated), for context.
-    step_jit = build_integrate(geom, cfg, jit=True, donate=False)
-    s = create_map_state(geom, cfg)
-    I4 = jnp.eye(4)
-    s, _ = step_jit(s, scans[0], masks[0], T_bs, I4)
-    jax.block_until_ready(s.layers)
-    t0 = time.time()
-    M = 20
-    for i in range(M):
-        s, _ = step_jit(s, scans[i % K], masks[i % K], T_bs, I4)
-    jax.block_until_ready(s.layers)
-    disp_ms = (time.time() - t0) / M * 1e3
-    print(f"per-dispatch latency: {disp_ms:.2f} ms/scan", file=sys.stderr)
 
+def bench_pipeline(K, N, cfg_mut=None, spread=7.2, geom_m=15.0, res=0.1):
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from fastdem_tpu import Config, GridGeometry
+    from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
+
+    geom = GridGeometry.from_length(geom_m, geom_m, res)
+    cfg = Config()
+    cfg.raycasting.enabled = True
+    if cfg_mut:
+        cfg_mut(cfg)
+    rng = np.random.default_rng(0)
+    scans = jnp.asarray(make_scans(K, N, rng, spread))
+    masks = jnp.ones((K, N), dtype=bool)
+    tx = jnp.asarray(np.cumsum(rng.normal(0, 0.05, K)).astype(np.float32))
+    step = build_integrate(geom, cfg, jit=False)
+    state = create_map_state(geom, cfg)
+    return chain_time(step, state, scans, masks, tx)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", type=int, default=16)
+    ap.add_argument("--points", type=int, default=30000)
+    ap.add_argument("--no-raycast", action="store_true")
+    ap.add_argument("--all", action="store_true",
+                    help="also run the other BASELINE.md configs")
+    args = ap.parse_args()
+
+    import jax
+
+    # Persistent compilation cache: the driver re-runs this benchmark every
+    # round; warm compiles cut minutes of XLA time.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/fastdem_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
     baseline_ms = 10.0  # reference ~10 ms/scan (BASELINE.md)
+
+    def log(name, ms, compile_s):
+        print(
+            f"{name:>34}: {ms:7.3f} ms/scan ({1000.0/ms:6.0f} scans/s, "
+            f"{baseline_ms/ms:4.1f}x baseline, compile {compile_s:.0f}s)",
+            file=sys.stderr,
+        )
+
+    def mut_headline(cfg):
+        cfg.raycasting.enabled = not args.no_raycast
+
+    ms, comp = bench_pipeline(args.scans, args.points, mut_headline)
+    log("local kalman lidar + raycast", ms, comp)
+
+    if args.all:
+        from fastdem_tpu.config.config import EstimationType, SensorType
+
+        def mut_p2(cfg):
+            cfg.mapping.estimation_type = EstimationType.P2_QUANTILE
+
+        ms2, c2 = bench_pipeline(args.scans, args.points, mut_p2)
+        log("p2 quantile + lidar + raycast", ms2, c2)
+
+        def mut_rgbd(cfg):
+            cfg.raycasting.enabled = False
+            cfg.sensor_model.type = SensorType.RGBD
+
+        ms3, c3 = bench_pipeline(
+            max(4, args.scans // 2), 300000, mut_rgbd, spread=6.0
+        )
+        log("rgbd 300K pts local", ms3, c3)
+
+        # Post-processing chain on a snapshot (UF + inpaint + FE).
+        import jax.numpy as jnp
+
+        from fastdem_tpu import GridGeometry, PostProcessConfig
+        from fastdem_tpu.postprocess import apply_postprocess_fn
+
+        geom = GridGeometry.from_length(15.0, 15.0, 0.1)
+        pp = PostProcessConfig()
+        pp.inpainting.enabled = True
+        pp.uncertainty_fusion.enabled = True
+        pp.feature_extraction.enabled = True
+        fn = jax.jit(apply_postprocess_fn(geom, pp))
+        rng = np.random.default_rng(0)
+        elev = jnp.asarray(rng.normal(0, 0.1, geom.shape).astype(np.float32))
+        up, lo = elev + 0.1, elev - 0.1
+        out = fn(elev, up, lo)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(10):
+            out = fn(elev, up, lo)
+        jax.block_until_ready(out)
+        log("postprocess chain (UF+inp+FE)", (time.time() - t0) / 10 * 1e3, 0)
+
+        if jax.device_count() > 1:
+            from fastdem_tpu.config.config import Config, MappingMode
+            from fastdem_tpu.parallel.distributed import scaling_report
+
+            geom_g = GridGeometry.from_length(50.0, 50.0, 0.1)
+            cfg_g = Config()
+            cfg_g.mapping.mode = MappingMode.GLOBAL
+            rep = scaling_report(geom_g, cfg_g, scans=8)
+            print(f"sharded global map: {rep}", file=sys.stderr)
+
     print(
         json.dumps(
             {
                 "metric": "ms_per_scan_vlp16_15m_kalman_raycast",
-                "value": round(ms_per_scan, 4),
+                "value": round(ms, 4),
                 "unit": "ms/scan",
-                "vs_baseline": round(baseline_ms / ms_per_scan, 2),
+                "vs_baseline": round(baseline_ms / ms, 2),
             }
         )
     )
