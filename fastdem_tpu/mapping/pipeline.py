@@ -300,8 +300,13 @@ class FastDEM:
         self.state = create_map_state(
             geom, self.cfg, position, has_intensity, has_color
         )
+        # No donation in the interactive facade: concurrent readers (the
+        # driver's snapshot/viz timers) may still hold the previous state,
+        # and donating would invalidate their buffers mid-read. The extra
+        # copy is a few MB; latency-critical loops should use
+        # build_integrate(donate=True) with exclusive buffer ownership.
         self._step = build_integrate(
-            geom, self.cfg, has_intensity, has_color
+            geom, self.cfg, has_intensity, has_color, donate=False
         )
         self.calibration = None  # Calibration provider (transform_interface)
         self.odometry = None  # Odometry provider
@@ -312,7 +317,8 @@ class FastDEM:
     # -- fluent setters (fastdem.cpp:28-77): each rebuilds the step ----------
     def _rebuild(self):
         self._step = build_integrate(
-            self.geom, self.cfg, self.has_intensity, self.has_color
+            self.geom, self.cfg, self.has_intensity, self.has_color,
+            donate=False,
         )
         # Estimator/raycast layer sets may change; merge-preserving rebuild
         # (ensureLayers is exists-guarded in the reference).

@@ -180,17 +180,21 @@ class MappingDriver:
     def _viz_loop(self):
         if self._scan_count == 0:
             return
+        # Materialize under the lock: the facade never donates, but holding
+        # the lock through np.asarray keeps the snapshot transactionally
+        # consistent with concurrent integrates (the reference's
+        # shared_mutex + snapshot pattern, fastdem_ros_node.cpp:210-215).
         with self._lock:
             state = self.mapper.state
-        payload = {
-            "position": np.asarray(state.position),
-            "scan_count": self._scan_count,
-            "layers": {
-                k: np.asarray(v)
-                for k, v in state.layers.items()
-                if not gm.is_internal(k)
-            },
-        }
+            payload = {
+                "position": np.asarray(state.position),
+                "scan_count": self._scan_count,
+                "layers": {
+                    k: np.asarray(v)
+                    for k, v in state.layers.items()
+                    if not gm.is_internal(k)
+                },
+            }
         self._publish("map", payload)
         if self.artifact_dir:
             from fastdem_tpu.io.npz import save_npz

@@ -281,3 +281,61 @@ class TestNodeConfig:
             assert d.geom.rows == 40
         finally:
             d.close()
+
+
+class TestNodeCli:
+    def test_node_synthetic_run(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        out = str(tmp_path / "out")
+        r = subprocess.run(
+            [
+                sys.executable, "tools/fastdem_node.py",
+                "--config", "fastdem_tpu/config/presets/local_mapping.yaml",
+                "--synthetic", "4", "--out", out, "--platform", "cpu",
+            ],
+            capture_output=True, text=True, cwd="/root/repo", timeout=400,
+            env=dict(os.environ),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "integrated 4 scans" in r.stdout
+        assert os.path.exists(f"{out}/map_final.npz")
+        assert os.path.exists(f"{out}/elevation.png")
+
+    def test_node_file_scans(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from fastdem_tpu.cloud import pointcloud as pc
+        from fastdem_tpu.io import pcd as pcd_io
+
+        scan_dir = tmp_path / "scans"
+        scan_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            pts = np.column_stack(
+                [rng.uniform(-3, 3, 2000), rng.uniform(-3, 3, 2000),
+                 rng.normal(-1.0, 0.02, 2000)]
+            ).astype(np.float32)
+            pcd_io.save_pcd(str(scan_dir / f"{i:03d}.pcd"), pc.from_numpy(pts))
+        traj = tmp_path / "traj.txt"
+        rows = [[i + 1, 0.2 * i, 0, 0, 0, 0, 0, 1] for i in range(3)]
+        np.savetxt(str(traj), np.asarray(rows, dtype=float))
+        out = str(tmp_path / "out")
+        r = subprocess.run(
+            [
+                sys.executable, "tools/fastdem_node.py",
+                "--config", "fastdem_tpu/config/presets/local_mapping.yaml",
+                "--scans", str(scan_dir), "--trajectory", str(traj),
+                "--out", out, "--platform", "cpu",
+            ],
+            capture_output=True, text=True, cwd="/root/repo", timeout=400,
+            env=dict(os.environ),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "integrated 3 scans" in r.stdout
