@@ -121,3 +121,25 @@ class TestRaycastParity:
         val = float(h[int(r), int(c)])
         assert bool(t[int(r), int(c)])
         assert 0.4 < val < 0.55
+
+
+class TestPallasResample:
+    def test_interpret_mode_correct(self, rng):
+        """The experimental Pallas resample kernel (interpret mode; the
+        tunnel's Mosaic compiler rejects per-element VMEM access — see the
+        module docstring)."""
+        import jax.numpy as jnp
+
+        from fastdem_tpu.ops.pallas_resample import resample_min2
+
+        A, R = 128, 64
+        field = jnp.asarray(rng.normal(size=(A, R)).astype(np.float32))
+        a0 = jnp.asarray(rng.integers(0, A, (10, 10)).astype(np.int32))
+        a1 = jnp.asarray(rng.integers(0, A, (10, 10)).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, R, (10, 10)).astype(np.int32))
+        out = np.asarray(resample_min2(field, a0, a1, r, interpret=True))
+        exp = np.minimum(
+            np.asarray(field)[np.asarray(a0), np.asarray(r)],
+            np.asarray(field)[np.asarray(a1), np.asarray(r)],
+        )
+        np.testing.assert_allclose(out, exp)
