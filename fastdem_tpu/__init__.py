@@ -24,3 +24,11 @@ from fastdem_tpu.config.config import (  # noqa: F401
 from fastdem_tpu.grid.geometry import GridGeometry  # noqa: F401
 from fastdem_tpu.grid.gridmap import GridMapState, layers  # noqa: F401
 from fastdem_tpu.mapping.pipeline import FastDEM, build_integrate, create_map_state  # noqa: F401
+
+# Submodule conveniences (import cheaply; heavy deps load lazily inside).
+from fastdem_tpu.grid import gridmap  # noqa: F401
+from fastdem_tpu.io.npz import load_npz, save_npz  # noqa: F401
+from fastdem_tpu.io.png import save_png  # noqa: F401
+from fastdem_tpu.mapping.batch import DEMConfig, build_dem, to_pointcloud  # noqa: F401
+from fastdem_tpu.runtime.driver import MappingDriver  # noqa: F401
+from fastdem_tpu.runtime.node_config import NodeConfig  # noqa: F401

@@ -288,24 +288,87 @@ def deskew(
     cloud: PointCloud,
     T_start: jnp.ndarray,
     T_end: jnp.ndarray,
-    t0: float | jnp.ndarray = 0.0,
-    t1: float | jnp.ndarray = 1.0,
+    t0: float | jnp.ndarray | None = None,
+    t1: float | jnp.ndarray | None = None,
+    strategy: str = "channel",
 ) -> PointCloud:
     """Per-point motion compensation (nanopcl filters/deskew.hpp:72-129).
 
     Each point is transformed by the pose interpolated (slerp rotation,
-    lerp translation) at its normalized time within [t0, t1], using the
-    'time' channel. Points outside [t0, t1] clamp to the endpoints.
+    lerp translation) at its normalized time within [t0, t1]. Matching the
+    reference overloads:
+      * explicit t0/t1 — absolute-timestamp time channel (deskew.hpp:121+)
+      * strategy="channel" (default) — t0/t1 auto-detected as the valid
+        min/max of the 'time' channel
+      * strategy="index" — points assumed in temporal order; alpha = i/(N-1)
+    Points outside [t0, t1] clamp to the endpoints.
     """
-    if "time" not in cloud.channels:
+    if strategy == "index":
+        n = cloud.capacity
+        alpha = jnp.arange(n, dtype=jnp.float32) / max(n - 1, 1)
+    elif "time" not in cloud.channels:
         return tfm.transform_cloud(cloud, T_end)
-    t = cloud.channels["time"]
-    alpha = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-12), 0.0, 1.0)
+    else:
+        t = cloud.channels["time"]
+        if t0 is None:
+            t0 = jnp.min(jnp.where(cloud.mask, t, jnp.inf))
+        if t1 is None:
+            t1 = jnp.max(jnp.where(cloud.mask, t, -jnp.inf))
+        alpha = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-12), 0.0, 1.0)
     q0 = tfm.quat_from_matrix(T_start[:3, :3])
     q1 = tfm.quat_from_matrix(T_end[:3, :3])
     q = tfm.slerp(q0, q1, alpha)  # [N, 4]
     R = jax.vmap(tfm.matrix_from_quat)(q)  # [N, 3, 3]
     trans = (1 - alpha)[:, None] * T_start[:3, 3] + alpha[:, None] * T_end[:3, 3]
+    xyz = jnp.einsum("nij,nj->ni", R, cloud.xyz) + trans
+    return dataclasses.replace(cloud, xyz=xyz)
+
+
+def deskew_lookup(cloud: PointCloud, pose_lookup, num_waypoints: int = 16) -> PointCloud:
+    """Deskew with an arbitrary pose-lookup callable (deskew.hpp:72-75).
+
+    ``pose_lookup(t: float) -> 4x4`` is sampled on the host at
+    ``num_waypoints`` times spanning the scan's time channel; per-point
+    poses interpolate (slerp/lerp) between the bracketing waypoints on the
+    device — trajectories far from piecewise-linear need more waypoints.
+    """
+    import numpy as np
+
+    if "time" not in cloud.channels:
+        raise ValueError("deskew_lookup requires a 'time' channel")
+    t_host = np.asarray(cloud.channels["time"])
+    m_host = np.asarray(cloud.mask)
+    if not m_host.any():
+        return cloud
+    t0 = float(t_host[m_host].min())
+    t1 = float(t_host[m_host].max())
+    W = max(2, num_waypoints)
+    ts = np.linspace(t0, t1, W)
+    poses = np.stack([np.asarray(pose_lookup(float(t))) for t in ts])
+    quats = jnp.stack(
+        [tfm.quat_from_matrix(jnp.asarray(P[:3, :3], jnp.float32)) for P in poses]
+    )  # [W, 4]
+    trans_w = jnp.asarray(poses[:, :3, 3], jnp.float32)  # [W, 3]
+
+    t = cloud.channels["time"]
+    u = jnp.clip((t - t0) / max(t1 - t0, 1e-12), 0.0, 1.0) * (W - 1)
+    i0 = jnp.clip(u.astype(jnp.int32), 0, W - 2)
+    frac = u - i0.astype(jnp.float32)
+
+    qa = quats[i0]  # [N, 4]
+    qb = quats[i0 + 1]
+    # Pairwise slerp with per-point quaternion pairs.
+    d = jnp.sum(qa * qb, axis=-1)
+    qb = jnp.where(d[:, None] < 0, -qb, qb)
+    d = jnp.abs(d)
+    theta = jnp.arccos(jnp.clip(d, -1.0, 1.0))
+    sin_t = jnp.sin(theta)
+    w0 = jnp.where(sin_t > 1e-6, jnp.sin((1 - frac) * theta) / jnp.maximum(sin_t, 1e-12), 1 - frac)
+    w1 = jnp.where(sin_t > 1e-6, jnp.sin(frac * theta) / jnp.maximum(sin_t, 1e-12), frac)
+    q = w0[:, None] * qa + w1[:, None] * qb
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    R = jax.vmap(tfm.matrix_from_quat)(q)
+    trans = (1 - frac)[:, None] * trans_w[i0] + frac[:, None] * trans_w[i0 + 1]
     xyz = jnp.einsum("nij,nj->ni", R, cloud.xyz) + trans
     return dataclasses.replace(cloud, xyz=xyz)
 

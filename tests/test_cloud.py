@@ -213,3 +213,47 @@ class TestDeskew:
         out = F.deskew(cloud, T0, T1, 0.0, 1.0)
         ang = np.arctan2(float(out.xyz[0, 1]), float(out.xyz[0, 0]))
         np.testing.assert_allclose(ang, np.pi / 4, atol=1e-5)
+
+
+class TestDeskewVariants:
+    def test_channel_auto_range(self):
+        xyz = np.zeros((3, 3), dtype=np.float32)
+        cloud = pc.from_numpy(
+            xyz, time=np.array([10.0, 10.5, 11.0], dtype=np.float32)
+        )
+        T0 = tfm.make_transform(t=[0, 0, 0])
+        T1 = tfm.make_transform(t=[2, 0, 0])
+        out = F.deskew(cloud, T0, T1)  # auto t0/t1 from channel
+        np.testing.assert_allclose(
+            np.asarray(out.xyz)[:, 0], [0, 1, 2], atol=1e-5
+        )
+
+    def test_index_strategy(self):
+        xyz = np.zeros((5, 3), dtype=np.float32)
+        cloud = pc.from_numpy(xyz)
+        T0 = tfm.make_transform(t=[0, 0, 0])
+        T1 = tfm.make_transform(t=[4, 0, 0])
+        out = F.deskew(cloud, T0, T1, strategy="index")
+        np.testing.assert_allclose(
+            np.asarray(out.xyz)[:, 0], [0, 1, 2, 3, 4], atol=1e-5
+        )
+
+    def test_lookup_matches_linear(self):
+        rngl = np.random.default_rng(3)
+        xyz = rngl.normal(size=(50, 3)).astype(np.float32)
+        times = np.linspace(5.0, 6.0, 50).astype(np.float32)
+        cloud = pc.from_numpy(xyz, time=times)
+        T0 = np.asarray(tfm.make_transform(t=[0, 0, 0]))
+        T1 = np.asarray(tfm.make_transform(t=[1, 2, 0]))
+
+        def lookup(t):
+            a = (t - 5.0) / 1.0
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = (1 - a) * T0[:3, 3] + a * T1[:3, 3]
+            return T
+
+        out_lin = F.deskew(cloud, jnp.asarray(T0), jnp.asarray(T1))
+        out_lut = F.deskew_lookup(cloud, lookup, num_waypoints=8)
+        np.testing.assert_allclose(
+            np.asarray(out_lut.xyz), np.asarray(out_lin.xyz), atol=1e-5
+        )
