@@ -257,3 +257,59 @@ class TestDeskewVariants:
         np.testing.assert_allclose(
             np.asarray(out_lut.xyz), np.asarray(out_lin.xyz), atol=1e-5
         )
+
+
+class TestDepthImage:
+    def test_backprojection(self):
+        from fastdem_tpu.cloud.depth import depth_to_cloud
+
+        depth = np.full((4, 6), 2.0, dtype=np.float32)
+        cloud = depth_to_cloud(depth, fx=100, fy=100, cx=3.0, cy=2.0)
+        assert cloud.count() == 24
+        xyz = np.asarray(cloud.xyz).reshape(4, 6, 3)
+        # Principal-point pixel projects to (0, 0, depth).
+        np.testing.assert_allclose(xyz[2, 3], [0, 0, 2.0], atol=1e-6)
+        # One pixel right of center: x = (u - cx)/fx * d = 0.02.
+        np.testing.assert_allclose(xyz[2, 4], [0.02, 0, 2.0], atol=1e-6)
+
+    def test_invalid_depths_masked(self):
+        from fastdem_tpu.cloud.depth import depth_to_cloud
+
+        depth = np.array([[1.0, 0.0], [np.nan, 5.0]], dtype=np.float32)
+        cloud = depth_to_cloud(depth, 50, 50, 1, 1, max_depth=3.0)
+        assert cloud.count() == 1
+
+    def test_uint16_scale_and_rgb(self):
+        from fastdem_tpu.cloud.depth import depth_to_cloud
+
+        depth = np.full((2, 2), 1500, dtype=np.uint16)  # 1.5 m in mm
+        rgb = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+        cloud = depth_to_cloud(depth, 50, 50, 1, 1, rgb=rgb, depth_scale=1e-3)
+        z = np.asarray(cloud.xyz)[:, 2]
+        np.testing.assert_allclose(z, 1.5, atol=1e-6)
+        assert cloud.channels["color"].shape == (4, 3)
+
+    def test_full_rgbd_pipeline(self):
+        """Depth image -> cloud -> RGB-D noise model -> map."""
+        import fastdem_tpu as fd
+        from fastdem_tpu.cloud.depth import camera_to_base_transform, depth_to_cloud
+        from fastdem_tpu.config.config import SensorType
+
+        rngl = np.random.default_rng(0)
+        depth = (1.5 + 0.05 * rngl.normal(size=(60, 80))).astype(np.float32)
+        cloud = depth_to_cloud(depth, fx=60, fy=60, cx=40, cy=30)
+        geom = fd.GridGeometry.from_length(8.0, 8.0, 0.1)
+        cfg = fd.Config()
+        cfg.sensor_model.type = SensorType.RGBD
+        m = fd.FastDEM(geom, cfg)
+        # Camera looking down from 2 m.
+        T_bs = camera_to_base_transform(roll=np.pi, yaw=0, t=[0, 0, 2.0])
+        ok = m.integrate(cloud, T_bs, np.eye(4, dtype=np.float32))
+        assert ok
+        elev = np.asarray(m.state.layers["elevation"])
+        finite = np.isfinite(elev)
+        assert finite.sum() > 50
+        # Ground plane at z = 2.0 - 1.5 = 0.5.
+        np.testing.assert_allclose(
+            np.nanmedian(elev[finite]), 0.5, atol=0.1
+        )
