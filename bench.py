@@ -149,17 +149,34 @@ def main():
         pp.inpainting.enabled = True
         pp.uncertainty_fusion.enabled = True
         pp.feature_extraction.enabled = True
-        fn = jax.jit(apply_postprocess_fn(geom, pp))
+        fn = apply_postprocess_fn(geom, pp)
         rng = np.random.default_rng(0)
         elev = jnp.asarray(rng.normal(0, 0.1, geom.shape).astype(np.float32))
-        up, lo = elev + 0.1, elev - 0.1
-        out = fn(elev, up, lo)
-        jax.block_until_ready(out)
+
+        # Chained like the pipeline benches (the tunnel backend adds ~5-15 ms
+        # of apparent per-dispatch latency that is NOT device time).
+        Kpp = 20
+
+        @jax.jit
+        def run_pp(e):
+            def body(c, _):
+                out = fn(c, c + 0.1, c - 0.1)
+                return out["elevation"] + out["slope"] * 1e-9, ()
+
+            o, _ = jax.lax.scan(body, e, None, length=Kpp)
+            return o
+
+        o = run_pp(elev)
+        jax.block_until_ready(o)
         t0 = time.time()
-        for _ in range(10):
-            out = fn(elev, up, lo)
-        jax.block_until_ready(out)
-        log("postprocess chain (UF+inp+FE)", (time.time() - t0) / 10 * 1e3, 0)
+        for _ in range(3):
+            o = run_pp(elev)
+        jax.block_until_ready(o)
+        log(
+            "postprocess chain (UF+inp+FE)",
+            (time.time() - t0) / (3 * Kpp) * 1e3,
+            0,
+        )
 
         if jax.device_count() > 1:
             from fastdem_tpu.config.config import Config, MappingMode
