@@ -221,6 +221,28 @@ def build_integrate(
                 geom, state.position, xyz_world, keep & origin_inside,
                 sensor_origin, ray_num_azimuth, ray_range_bin_factor,
             )
+        rider = None
+        if cfg.raycasting.enabled:
+            # Between the scatter phases, fold the raycaster's two
+            # field lookups into the rasterizer's min-z gather (gathers
+            # serialize with a large fixed cost, like scatters).
+            a0, a1, r_idx = raycast.resample_indices(
+                geom, state.position, sensor_origin,
+                ray_num_azimuth, ray_range_bin_factor,
+            )
+            _, R_polar, _ = raycast.polar_dims(
+                geom, ray_num_azimuth, ray_range_bin_factor
+            )
+            flat0 = (a0 * R_polar + r_idx).reshape(-1)
+            flat1 = (a1 * R_polar + r_idx).reshape(-1)
+
+            def rider(polar_table):
+                smeared = raycast.polar_smeared_field(
+                    geom, sensor_origin, polar_table,
+                    ray_num_azimuth, ray_range_bin_factor,
+                )
+                return smeared.reshape(-1), jnp.concatenate([flat0, flat1])
+
         obs = raster.rasterize_scatter(
             geom,
             state.position,
@@ -231,6 +253,7 @@ def build_integrate(
             color_packed=color_packed,
             with_voxel_count=cfg.raycasting.enabled,
             extra_min_scatter=extra,
+            phase_gather_rider=rider,
         )
         state = _estimate(state, cfg, obs)
         state = _update_minmax(state, obs)
@@ -246,6 +269,12 @@ def build_integrate(
             # all rays directly (dedup is unnecessary there — see
             # postprocess/raycasting.py docstring) and its slope table was
             # already scattered in phase 1 (obs.extra).
+            ncell = geom.num_cells
+            h0 = obs.extra[:ncell].reshape(geom.shape)
+            h1 = obs.extra[ncell:].reshape(geom.shape)
+            h_cell = jnp.minimum(h0, h1)
+            ray_touched = jnp.isfinite(h_cell)
+            ray_min = jnp.where(ray_touched, h_cell, jnp.nan)
             state = raycast.apply_raycasting(
                 geom,
                 state,
@@ -256,7 +285,7 @@ def build_integrate(
                 obs_count=obs.voxel_count,
                 num_azimuth=ray_num_azimuth,
                 range_bin_factor=ray_range_bin_factor,
-                polar_table=obs.extra,
+                ray_min_touched=(ray_min, ray_touched),
             )
 
         aux = IntegrateAux(

@@ -158,6 +158,7 @@ def rasterize_scatter(
     color_packed: Optional[jnp.ndarray] = None,
     with_voxel_count: bool = False,
     extra_min_scatter=None,
+    phase_gather_rider=None,
 ) -> CellObservations:
     """Direct scatter formulation.
 
@@ -172,6 +173,12 @@ def rasterize_scatter(
     unrelated min-reduction to ride phase 1 (the pipeline fuses the
     raycaster's polar slope scatter here); its table lands in
     ``CellObservations.extra``.
+
+    ``phase_gather_rider``: optional callable ``extra_table -> (buf, idx)``
+    invoked between the phases. Gathers also serialize with a large fixed
+    cost, so the rider's lookups are CONCATENATED with the rasterizer's own
+    min-z-per-point gather into a single gather op; ``buf[idx]`` lands in
+    ``CellObservations.extra`` instead of the raw table.
     """
     ncell = geom.num_cells
     shape = geom.shape
@@ -200,7 +207,17 @@ def rasterize_scatter(
     extra = t1[2 * stride : t1_len - 1] if extra_min_scatter is not None else None
     touched = jnp.isfinite(min_z)
 
-    cell_min_at_pt = min_z[jnp.minimum(ids, ncell - 1)]
+    gather_idx = jnp.minimum(ids, ncell - 1)
+    if phase_gather_rider is not None:
+        rider_buf, rider_idx = phase_gather_rider(extra)
+        n_pts = gather_idx.shape[0]
+        buf = jnp.concatenate([min_z, rider_buf])
+        gidx = jnp.concatenate([gather_idx, rider_idx + ncell])
+        g = buf[gidx]
+        cell_min_at_pt = g[:n_pts]
+        extra = g[n_pts:]
+    else:
+        cell_min_at_pt = min_z[gather_idx]
     at_min = valid & (z == cell_min_at_pt)
 
     # ---- Phase 2: variance@min, -intensity, color@min fused ----

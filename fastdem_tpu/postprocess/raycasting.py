@@ -163,6 +163,26 @@ def polar_resample(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Continue from the scattered [A*R] min slopes to per-cell heights."""
     A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor)
+    smeared = polar_smeared_field(
+        geom, sensor_origin, scat_flat, num_azimuth, range_bin_factor
+    )
+    a0, a1, r_idx = resample_indices(
+        geom, position, sensor_origin, num_azimuth, range_bin_factor
+    )
+    h_cell = jnp.minimum(smeared[a0, r_idx], smeared[a1, r_idx])
+    touched = jnp.isfinite(h_cell)
+    return jnp.where(touched, h_cell, jnp.nan), touched
+
+
+def polar_smeared_field(
+    geom: GridGeometry,
+    sensor_origin: jnp.ndarray,
+    scat_flat: jnp.ndarray,
+    num_azimuth: int = 2048,
+    range_bin_factor: float = 0.5,
+) -> jnp.ndarray:
+    """Scattered [A*R] min slopes -> azimuth-smeared height field [A, R]."""
+    A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor)
     scat = scat_flat.reshape(A, R)
     ms = jax.lax.associative_scan(jnp.minimum, scat, axis=1, reverse=True)
     d_r = jnp.arange(R, dtype=jnp.float32)[None, :] * dr
@@ -192,7 +212,20 @@ def polar_resample(
         colmask = jnp.asarray(lvl_static > k, dtype=bool)[None, :]
         shifted = jnp.roll(smeared, -(1 << k), axis=0)
         smeared = jnp.where(colmask, jnp.minimum(smeared, shifted), smeared)
+    return smeared
 
+
+def resample_indices(
+    geom: GridGeometry,
+    position: jnp.ndarray,
+    sensor_origin: jnp.ndarray,
+    num_azimuth: int = 2048,
+    range_bin_factor: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-cell (a0, a1, r_idx) lookups into the smeared field — exposed so
+    the pipeline can fuse these two gathers with the rasterizer's
+    min-z-per-point gather into one call."""
+    A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor)
     # Cartesian resample at cell centers: one gather per cell.
     cx, cy = geom.cell_centers(position)
     ddx = cx - sensor_origin[0]
@@ -224,9 +257,7 @@ def polar_resample(
     )
     a0 = jnp.mod(a_center - w_bins // 2, A)
     a1 = jnp.mod(a0 + w_bins - w_pow, A)
-    h_cell = jnp.minimum(smeared[a0, r_idx], smeared[a1, r_idx])
-    touched = jnp.isfinite(h_cell)
-    return jnp.where(touched, h_cell, jnp.nan), touched
+    return a0, a1, r_idx
 
 
 def _column_levels(geom: GridGeometry, A: int, R: int, dr: float) -> np.ndarray:
@@ -289,6 +320,7 @@ def apply_raycasting(
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
     polar_table: Optional[jnp.ndarray] = None,
+    ray_min_touched: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> GridMapState:
     """Apply one scan's visibility update.
 
@@ -325,7 +357,9 @@ def apply_raycasting(
     )
 
     # ---- 2. Per-cell min ray height ----
-    if method == "polar" and polar_table is not None:
+    if ray_min_touched is not None:
+        ray_min, ray_touched = ray_min_touched
+    elif method == "polar" and polar_table is not None:
         ray_min, ray_touched = polar_resample(
             geom, state.position, sensor_origin, polar_table,
             num_azimuth=num_azimuth, range_bin_factor=range_bin_factor,
