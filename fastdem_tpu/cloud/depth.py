@@ -9,7 +9,7 @@ RGBDSensorModel expects (z = depth, rgbd_model.hpp:82-101).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

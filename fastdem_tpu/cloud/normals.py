@@ -15,7 +15,6 @@ eigendecomposition (cloud/pca.py).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import jax.numpy as jnp

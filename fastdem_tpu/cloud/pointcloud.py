@@ -22,7 +22,7 @@ Channels (same surface as nanoPCL core/types.hpp):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ marked by index -1 / distance +inf, so downstream consumers stay jittable.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -23,7 +23,6 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from fastdem_tpu.cloud.pointcloud import PointCloud
 from fastdem_tpu.cloud.search import BucketGrid

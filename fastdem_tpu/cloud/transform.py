@@ -15,9 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from fastdem_tpu.cloud.pointcloud import PointCloud
 

@@ -17,7 +17,7 @@ pass (see grid/geometry.py module docstring for rationale).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterable, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Mapping, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

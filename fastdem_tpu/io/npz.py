@@ -18,9 +18,7 @@ rotation, io_png.cpp:142-144 convention).
 
 from __future__ import annotations
 
-import io
 import json
-import zipfile
 from typing import Dict, Iterable, Optional, Tuple
 
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ Host-side (numpy) — file parsing is not device work.
 
 from __future__ import annotations
 
-import struct
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -54,7 +54,6 @@ import numpy as np
 from fastdem_tpu.config.config import RaycastingConfig
 from fastdem_tpu.grid.geometry import GridGeometry
 from fastdem_tpu.grid.gridmap import GridMapState, layers
-from fastdem_tpu.ops import segments as seg
 
 _INF = jnp.inf
 
