@@ -230,11 +230,9 @@ def build_integrate(
                 geom, state.position, sensor_origin,
                 ray_num_azimuth, ray_range_bin_factor,
             )
-            _, R_polar, _ = raycast.polar_dims(
-                geom, ray_num_azimuth, ray_range_bin_factor
-            )
-            flat0 = (a0 * R_polar + r_idx).reshape(-1)
-            flat1 = (a1 * R_polar + r_idx).reshape(-1)
+            # [R, A] field layout: flat = r * A + a.
+            flat0 = (r_idx * ray_num_azimuth + a0).reshape(-1)
+            flat1 = (r_idx * ray_num_azimuth + a1).reshape(-1)
 
             def rider(polar_table):
                 smeared = raycast.polar_smeared_field(

@@ -127,7 +127,10 @@ def polar_scatter_spec(
     # within half a bin of the true exit, halving the |slope|*dr endpoint
     # quantization error of the DDA's exit-height record.
     rbin_exit = jnp.clip(jnp.round(d_exit / dr).astype(jnp.int32), 0, R - 1)
-    key = jnp.where(valid, abin * R + rbin_exit, A * R)
+    # [R, A] layout (range-major): the reverse cummin then runs along the
+    # sublane axis and the azimuth smears along the lane axis — measured
+    # ~1 ms faster than the [A, R] orientation on v5e.
+    key = jnp.where(valid, rbin_exit * A + abin, A * R)
     return key, jnp.where(valid, slope, _INF), A * R + 1
 
 
@@ -168,7 +171,7 @@ def polar_resample(
     a0, a1, r_idx = resample_indices(
         geom, position, sensor_origin, num_azimuth, range_bin_factor
     )
-    h_cell = jnp.minimum(smeared[a0, r_idx], smeared[a1, r_idx])
+    h_cell = jnp.minimum(smeared[r_idx, a0], smeared[r_idx, a1])
     touched = jnp.isfinite(h_cell)
     return jnp.where(touched, h_cell, jnp.nan), touched
 
@@ -180,11 +183,11 @@ def polar_smeared_field(
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
 ) -> jnp.ndarray:
-    """Scattered [A*R] min slopes -> azimuth-smeared height field [A, R]."""
+    """Scattered [R*A] min slopes -> azimuth-smeared height field [R, A]."""
     A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor)
-    scat = scat_flat.reshape(A, R)
-    ms = jax.lax.associative_scan(jnp.minimum, scat, axis=1, reverse=True)
-    d_r = jnp.arange(R, dtype=jnp.float32)[None, :] * dr
+    scat = scat_flat.reshape(R, A)
+    ms = jax.lax.cummin(scat, axis=0, reverse=True)
+    d_r = jnp.arange(R, dtype=jnp.float32)[:, None] * dr
     h_polar = jnp.where(
         jnp.isfinite(ms), sensor_origin[2] + ms * d_r, _INF
     )
@@ -192,7 +195,7 @@ def polar_smeared_field(
     # the field here (dense, free) lets the per-cell lookup use a single
     # range gather while still seeing rays that die anywhere inside the
     # cell — matching the DDA's min-over-in-cell-heights semantics.
-    h_prev1 = jnp.concatenate([h_polar[:, :1], h_polar[:, :-1]], axis=1)
+    h_prev1 = jnp.concatenate([h_polar[:1, :], h_polar[:-1, :]], axis=0)
     h_polar = jnp.minimum(h_polar, h_prev1)
 
     # Azimuth-smear the field with per-range-column windows.
@@ -208,9 +211,9 @@ def polar_smeared_field(
     lvl_static = _column_levels(geom, A, R, dr)  # np.int32[R]
     smeared = h_polar
     for k in range(int(np.max(lvl_static))):
-        colmask = jnp.asarray(lvl_static > k, dtype=bool)[None, :]
-        shifted = jnp.roll(smeared, -(1 << k), axis=0)
-        smeared = jnp.where(colmask, jnp.minimum(smeared, shifted), smeared)
+        rowmask = jnp.asarray(lvl_static > k, dtype=bool)[:, None]
+        shifted = jnp.roll(smeared, -(1 << k), axis=1)
+        smeared = jnp.where(rowmask, jnp.minimum(smeared, shifted), smeared)
     return smeared
 
 
