@@ -155,3 +155,43 @@ class TestProfiling:
         st = benchmark(lambda: x + 1, warmup=1, reps=5)
         assert st.mean >= 0
         assert "device" in platform_info()
+
+
+class TestOrbaxCheckpoint:
+    def test_sharded_save_restore(self, tmp_path):
+        from fastdem_tpu.config.config import Config, MappingMode
+        from fastdem_tpu.io.orbax_ckpt import load_orbax, save_orbax
+        from fastdem_tpu.mapping.pipeline import create_map_state
+        from fastdem_tpu.parallel import sharding as sh
+
+        geom = GridGeometry.from_length(16.0, 16.0, 0.5)
+        cfg = Config()
+        cfg.mapping.mode = MappingMode.GLOBAL
+        mesh = sh.make_mesh(8)
+        state = sh.shard_state(create_map_state(geom, cfg), mesh)
+        state = state.replace_layer(
+            layers.elevation,
+            jnp.zeros(geom.shape).at[3, 4].set(1.25),
+        )
+        path = str(tmp_path / "ckpt")
+        save_orbax(path, geom, state)
+
+        geom2, state2, meta = load_orbax(path, sharding=sh.map_sharding(mesh))
+        assert geom2 == geom
+        assert not state2.layers[layers.elevation].sharding.is_fully_replicated
+        np.testing.assert_allclose(
+            np.asarray(state2.layers[layers.elevation]),
+            np.asarray(state.layers[layers.elevation]),
+        )
+
+    def test_unsharded_restore(self, tmp_path):
+        from fastdem_tpu.config.config import Config
+        from fastdem_tpu.io.orbax_ckpt import load_orbax, save_orbax
+        from fastdem_tpu.mapping.pipeline import create_map_state
+
+        geom = GridGeometry.from_length(4.0, 4.0, 0.5)
+        state = create_map_state(geom, Config())
+        path = str(tmp_path / "c2")
+        save_orbax(path, geom, state)
+        geom2, state2, _ = load_orbax(path)
+        assert set(state2.layers) == set(state.layers)
