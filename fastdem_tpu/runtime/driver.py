@@ -49,6 +49,8 @@ class MappingDriver:
         odometry=None,
         postprocess_rate: float = 1.0,
         viz_rate: float = 2.0,
+        global_rate: float = 0.0,
+        global_window: tuple = (15.0, 15.0),
         artifact_dir: Optional[str] = None,
         **mapper_kwargs,
     ):
@@ -64,6 +66,8 @@ class MappingDriver:
         self._pp_fn = jax.jit(apply_postprocess_fn(geom, self.pp_cfg))
         self.postprocess_rate = postprocess_rate
         self.viz_rate = viz_rate
+        self.global_rate = global_rate
+        self.global_window = global_window
         self.artifact_dir = artifact_dir
 
         self._lock = threading.RLock()
@@ -97,6 +101,8 @@ class MappingDriver:
             self._spawn(self._pp_loop, 1.0 / self.postprocess_rate)
         if self.viz_rate > 0:
             self._spawn(self._viz_loop, 1.0 / self.viz_rate)
+        if self.global_rate > 0:
+            self._spawn(self._global_loop, 1.0 / self.global_rate)
 
     def _spawn(self, fn, period):
         t = threading.Thread(target=self._loop, args=(fn, period), daemon=True)
@@ -213,6 +219,17 @@ class MappingDriver:
                 sink(payload)
             except Exception:  # noqa: BLE001
                 log.exception("sink '%s' failed", topic)
+
+    def _global_loop(self):
+        """Global-submap publishing around the robot (the reference's
+        global_publish_rate timer, fastdem_ros_node.cpp:271-280)."""
+        if self._scan_count == 0:
+            return
+        with self._lock:
+            center = np.asarray(self.mapper.state.position)
+        payload = self.submap(tuple(center), self.global_window)
+        payload["center"] = center
+        self._publish("global_submap", payload)
 
     def submap(self, center_xy, length_xy) -> Dict[str, np.ndarray]:
         """Global-submap view (:271-280)."""

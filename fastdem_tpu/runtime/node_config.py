@@ -152,5 +152,7 @@ class NodeConfig:
             postprocess_cfg=self.postprocess,
             postprocess_rate=self.topics.post_process_rate,
             viz_rate=self.topics.publish_rate,
+            global_rate=self.topics.global_publish_rate,
+            global_window=(self.map.width, self.map.height),
             **kwargs,
         )

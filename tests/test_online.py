@@ -339,3 +339,29 @@ class TestNodeCli:
         )
         assert r.returncode == 0, r.stderr[-2000:]
         assert "integrated 3 scans" in r.stdout
+
+
+class TestGlobalTimer:
+    def test_global_submap_published(self):
+        import time
+
+        from fastdem_tpu.runtime.driver import MappingDriver
+        from fastdem_tpu.runtime.providers import StaticCalibration, StaticOdometry
+
+        geom = GridGeometry.from_length(6.0, 6.0, 0.1)
+        calib = StaticCalibration()
+        calib.set_extrinsic("lidar", np.eye(4, dtype=np.float32))
+        got = []
+        with MappingDriver(
+            geom, Config(),
+            calibration=calib, odometry=StaticOdometry(),
+            postprocess_rate=0.0, viz_rate=0.0,
+            global_rate=20.0, global_window=(2.0, 2.0),
+        ) as d:
+            d.sinks["global_submap"] = lambda p: got.append(p)
+            d.on_scan(cloud())
+            t0 = time.time()
+            while not got and time.time() - t0 < 10:
+                time.sleep(0.05)
+        assert got
+        assert got[0]["elevation"].shape == (20, 20)
