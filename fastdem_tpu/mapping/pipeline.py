@@ -171,6 +171,7 @@ def build_integrate(
     ray_num_samples: Optional[int] = None,
     ray_num_azimuth: int = 2048,
     ray_range_bin_factor: float = 0.5,
+    ray_max_range: Optional[float] = None,
 ):
     """Compile the per-scan integrate step.
 
@@ -188,6 +189,13 @@ def build_integrate(
     _F32_MAX = 3.4028235e38
     rmin2 = min(pf.range_min * pf.range_min, _F32_MAX)
     rmax2 = min(pf.range_max * pf.range_max, _F32_MAX)
+    # Polar-field range bound: surviving points lie within range_max of the
+    # BASE frame; the sensor offset is small, so range_max + margin bounds
+    # every ray from the sensor. Without a finite range filter the field
+    # spans the map diagonal (prohibitive on large global maps — set a
+    # range filter or ray_max_range for those).
+    if ray_max_range is None and pf.range_max < 1e6:
+        ray_max_range = float(pf.range_max) * 1.1 + 2.0
 
     def integrate(state, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None):
         # ---- 1. Preprocess (fastdem.cpp:164-190) ----
@@ -220,15 +228,16 @@ def build_integrate(
             extra = raycast.polar_scatter_spec(
                 geom, state.position, xyz_world, keep & origin_inside,
                 sensor_origin, ray_num_azimuth, ray_range_bin_factor,
+                ray_max_range,
             )
         rider = None
         if cfg.raycasting.enabled:
             # Between the scatter phases, fold the raycaster's two
             # field lookups into the rasterizer's min-z gather (gathers
             # serialize with a large fixed cost, like scatters).
-            a0, a1, r_idx = raycast.resample_indices(
+            a0, a1, r_idx, ray_in_range = raycast.resample_indices(
                 geom, state.position, sensor_origin,
-                ray_num_azimuth, ray_range_bin_factor,
+                ray_num_azimuth, ray_range_bin_factor, ray_max_range,
             )
             # [R, A] field layout: flat = r * A + a.
             flat0 = (r_idx * ray_num_azimuth + a0).reshape(-1)
@@ -237,7 +246,7 @@ def build_integrate(
             def rider(polar_table):
                 smeared = raycast.polar_smeared_field(
                     geom, sensor_origin, polar_table,
-                    ray_num_azimuth, ray_range_bin_factor,
+                    ray_num_azimuth, ray_range_bin_factor, ray_max_range,
                 )
                 return smeared.reshape(-1), jnp.concatenate([flat0, flat1])
 
@@ -271,7 +280,7 @@ def build_integrate(
             h0 = obs.extra[:ncell].reshape(geom.shape)
             h1 = obs.extra[ncell:].reshape(geom.shape)
             h_cell = jnp.minimum(h0, h1)
-            ray_touched = jnp.isfinite(h_cell)
+            ray_touched = jnp.isfinite(h_cell) & ray_in_range
             ray_min = jnp.where(ray_touched, h_cell, jnp.nan)
             state = raycast.apply_raycasting(
                 geom,

@@ -88,11 +88,22 @@ def _clip_exit(
     return jnp.clip(t_exit, 0.0, 1.0)
 
 
-def polar_dims(geom: GridGeometry, num_azimuth: int, range_bin_factor: float):
+def polar_dims(
+    geom: GridGeometry,
+    num_azimuth: int,
+    range_bin_factor: float,
+    max_range: Optional[float] = None,
+):
+    """Polar grid dims. ``max_range`` bounds the range axis: without it the
+    field spans the map DIAGONAL, which explodes on large global maps
+    (200 m @ 0.1 m -> [5657, 2048] and ~75 ms/scan); real sensors are
+    range-limited and the pipeline derives the bound from the point
+    filter's range_max."""
     A = num_azimuth
     dr = geom.resolution * range_bin_factor
     diag = math.hypot(geom.rows, geom.cols) * geom.resolution
-    R = int(math.ceil(diag / dr)) + 2
+    extent = diag if max_range is None else min(diag, max_range)
+    R = int(math.ceil(extent / dr)) + 2
     return A, R, dr
 
 
@@ -104,12 +115,13 @@ def polar_scatter_spec(
     sensor_origin: jnp.ndarray,
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
+    max_range: Optional[float] = None,
 ):
     """The polar slope-scatter inputs, exposed so the pipeline can FUSE
     this scatter with the rasterizer's (scatter ops carry a large fixed
     cost on TPU). Returns (ids in [0, A*R] with A*R the dump slot,
     values, table_size A*R+1)."""
-    A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor)
+    A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor, max_range)
     dxy = xyz[:, :2] - sensor_origin[:2]
     dz = xyz[:, 2] - sensor_origin[2]
     len2d = jnp.linalg.norm(dxy, axis=1)
@@ -142,16 +154,17 @@ def ray_min_height_polar(
     sensor_origin: jnp.ndarray,
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
+    max_range: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-cell minimum ray height. Returns (min_height [H,W], touched)."""
     key, vals, size = polar_scatter_spec(
         geom, position, xyz, ray_mask, sensor_origin, num_azimuth,
-        range_bin_factor,
+        range_bin_factor, max_range,
     )
     table = jnp.full(size, _INF, dtype=jnp.float32).at[key].min(vals)
     return polar_resample(
         geom, position, sensor_origin, table[: size - 1], num_azimuth,
-        range_bin_factor,
+        range_bin_factor, max_range,
     )
 
 
@@ -162,17 +175,19 @@ def polar_resample(
     scat_flat: jnp.ndarray,
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
+    max_range: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Continue from the scattered [A*R] min slopes to per-cell heights."""
-    A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor)
+    """Continue from the scattered [R*A] min slopes to per-cell heights."""
     smeared = polar_smeared_field(
-        geom, sensor_origin, scat_flat, num_azimuth, range_bin_factor
+        geom, sensor_origin, scat_flat, num_azimuth, range_bin_factor,
+        max_range,
     )
-    a0, a1, r_idx = resample_indices(
-        geom, position, sensor_origin, num_azimuth, range_bin_factor
+    a0, a1, r_idx, in_range = resample_indices(
+        geom, position, sensor_origin, num_azimuth, range_bin_factor,
+        max_range,
     )
     h_cell = jnp.minimum(smeared[r_idx, a0], smeared[r_idx, a1])
-    touched = jnp.isfinite(h_cell)
+    touched = jnp.isfinite(h_cell) & in_range
     return jnp.where(touched, h_cell, jnp.nan), touched
 
 
@@ -182,9 +197,10 @@ def polar_smeared_field(
     scat_flat: jnp.ndarray,
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
+    max_range: Optional[float] = None,
 ) -> jnp.ndarray:
     """Scattered [R*A] min slopes -> azimuth-smeared height field [R, A]."""
-    A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor)
+    A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor, max_range)
     scat = scat_flat.reshape(R, A)
     ms = jax.lax.cummin(scat, axis=0, reverse=True)
     d_r = jnp.arange(R, dtype=jnp.float32)[:, None] * dr
@@ -223,11 +239,13 @@ def resample_indices(
     sensor_origin: jnp.ndarray,
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-cell (a0, a1, r_idx) lookups into the smeared field — exposed so
-    the pipeline can fuse these two gathers with the rasterizer's
-    min-z-per-point gather into one call."""
-    A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor)
+    max_range: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-cell (a0, a1, r_idx, in_range) lookups into the smeared field —
+    exposed so the pipeline can fuse these two gathers with the
+    rasterizer's min-z-per-point gather into one call. Cells beyond the
+    field's range bound report in_range=False (no ray coverage)."""
+    A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor, max_range)
     # Cartesian resample at cell centers: one gather per cell.
     cx, cy = geom.cell_centers(position)
     ddx = cx - sensor_origin[0]
@@ -259,7 +277,8 @@ def resample_indices(
     )
     a0 = jnp.mod(a_center - w_bins // 2, A)
     a1 = jnp.mod(a0 + w_bins - w_pow, A)
-    return a0, a1, r_idx
+    in_range = (dist + geom.resolution * 0.5) <= (R - 1) * dr
+    return a0, a1, r_idx, in_range
 
 
 def _column_levels(geom: GridGeometry, A: int, R: int, dr: float) -> np.ndarray:
@@ -321,6 +340,7 @@ def apply_raycasting(
     num_samples: Optional[int] = None,
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
+    max_range: Optional[float] = None,
     polar_table: Optional[jnp.ndarray] = None,
     ray_min_touched: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> GridMapState:
@@ -365,11 +385,13 @@ def apply_raycasting(
         ray_min, ray_touched = polar_resample(
             geom, state.position, sensor_origin, polar_table,
             num_azimuth=num_azimuth, range_bin_factor=range_bin_factor,
+            max_range=max_range,
         )
     elif method == "polar":
         ray_min, ray_touched = ray_min_height_polar(
             geom, state.position, xyz, active, sensor_origin,
             num_azimuth=num_azimuth, range_bin_factor=range_bin_factor,
+            max_range=max_range,
         )
     else:
         ray_min, ray_touched = ray_min_height_sampled(
