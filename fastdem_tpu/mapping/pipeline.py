@@ -231,13 +231,36 @@ def build_integrate(
                 ray_max_range,
             )
         rider = None
+        ray_window = None
         if cfg.raycasting.enabled:
+            # The per-cell field lookups are the map-size-scaling cost of
+            # raycasting; on maps larger than the ray range, resample only
+            # a sensor-centered window (rays cannot reach farther).
+            import math as _math
+
+            if ray_max_range is not None:
+                wcells = (
+                    int(_math.ceil(2.0 * ray_max_range / geom.resolution)) + 4
+                )
+                wr = min(geom.rows, wcells)
+                wc = min(geom.cols, wcells)
+            else:
+                wr, wc = geom.rows, geom.cols
+            if (wr, wc) != (geom.rows, geom.cols):
+                sr, sc, _ = geom.index_of(state.position, sensor_origin[:2])
+                r0 = jnp.clip(sr, 0, geom.rows) - wr // 2
+                r0 = jnp.clip(r0, 0, geom.rows - wr)
+                c0 = jnp.clip(sc, 0, geom.cols) - wc // 2
+                c0 = jnp.clip(c0, 0, geom.cols - wc)
+                ray_window = (r0, c0, wr, wc)
+
             # Between the scatter phases, fold the raycaster's two
             # field lookups into the rasterizer's min-z gather (gathers
             # serialize with a large fixed cost, like scatters).
             a0, a1, r_idx, ray_in_range = raycast.resample_indices(
                 geom, state.position, sensor_origin,
                 ray_num_azimuth, ray_range_bin_factor, ray_max_range,
+                window=ray_window,
             )
             # [R, A] field layout: flat = r * A + a.
             flat0 = (r_idx * ray_num_azimuth + a0).reshape(-1)
@@ -276,12 +299,29 @@ def build_integrate(
             # all rays directly (dedup is unnecessary there — see
             # postprocess/raycasting.py docstring) and its slope table was
             # already scattered in phase 1 (obs.extra).
-            ncell = geom.num_cells
-            h0 = obs.extra[:ncell].reshape(geom.shape)
-            h1 = obs.extra[ncell:].reshape(geom.shape)
-            h_cell = jnp.minimum(h0, h1)
-            ray_touched = jnp.isfinite(h_cell) & ray_in_range
-            ray_min = jnp.where(ray_touched, h_cell, jnp.nan)
+            if ray_window is not None:
+                r0, c0, wr, wc = ray_window
+                nwin = wr * wc
+                h_cell_w = jnp.minimum(
+                    obs.extra[:nwin].reshape(wr, wc),
+                    obs.extra[nwin:].reshape(wr, wc),
+                )
+                touched_w = jnp.isfinite(h_cell_w) & ray_in_range
+                ray_min = jax.lax.dynamic_update_slice(
+                    jnp.full(geom.shape, jnp.nan),
+                    jnp.where(touched_w, h_cell_w, jnp.nan),
+                    (r0, c0),
+                )
+                ray_touched = jax.lax.dynamic_update_slice(
+                    jnp.zeros(geom.shape, dtype=bool), touched_w, (r0, c0)
+                )
+            else:
+                ncell = geom.num_cells
+                h0 = obs.extra[:ncell].reshape(geom.shape)
+                h1 = obs.extra[ncell:].reshape(geom.shape)
+                h_cell = jnp.minimum(h0, h1)
+                ray_touched = jnp.isfinite(h_cell) & ray_in_range
+                ray_min = jnp.where(ray_touched, h_cell, jnp.nan)
             state = raycast.apply_raycasting(
                 geom,
                 state,

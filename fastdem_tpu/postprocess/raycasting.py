@@ -240,14 +240,36 @@ def resample_indices(
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
     max_range: Optional[float] = None,
+    window: Optional[Tuple] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-cell (a0, a1, r_idx, in_range) lookups into the smeared field —
     exposed so the pipeline can fuse these two gathers with the
     rasterizer's min-z-per-point gather into one call. Cells beyond the
-    field's range bound report in_range=False (no ray coverage)."""
+    field's range bound report in_range=False (no ray coverage).
+
+    ``window``: optional (r0, c0, wr, wc) — restrict the resample to the
+    wr x wc cell window whose top-left cell is (r0, c0) (traced values,
+    static extents). The per-cell gather is THE map-size-scaling cost of
+    raycasting (two serialized lookups per cell), so large global maps
+    resample only a sensor-centered window of ~2*max_range extent.
+    """
     A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor, max_range)
     # Cartesian resample at cell centers: one gather per cell.
-    cx, cy = geom.cell_centers(position)
+    if window is not None:
+        r0, c0, wr, wc = window
+        ox, oy = geom.origin(position)
+        rr = r0 + jnp.arange(wr, dtype=jnp.int32)
+        cc = c0 + jnp.arange(wc, dtype=jnp.int32)
+        cx = jnp.broadcast_to(
+            (ox - (rr.astype(jnp.float32) + 0.5) * geom.resolution)[:, None],
+            (wr, wc),
+        )
+        cy = jnp.broadcast_to(
+            (oy - (cc.astype(jnp.float32) + 0.5) * geom.resolution)[None, :],
+            (wr, wc),
+        )
+    else:
+        cx, cy = geom.cell_centers(position)
     ddx = cx - sensor_origin[0]
     ddy = cy - sensor_origin[1]
     dist = jnp.hypot(ddx, ddy)

@@ -265,3 +265,64 @@ class TestPostprocessChain:
         out = fn(elev, up, lo)
         assert bool(jnp.isfinite(out["elevation"][10, 10]))
         assert "slope" in out and "uncertainty_range" in out
+
+
+class TestWindowedRaycast:
+    """Large global map + range-limited sensor: the raycast resample runs
+    in a sensor-centered window; ghost removal works inside it, cells
+    beyond the ray range see no ray evidence."""
+
+    def test_ghost_cleared_in_window(self):
+        import fastdem_tpu as fd
+        from fastdem_tpu.cloud import pointcloud as pcm
+
+        geom = GridGeometry.from_length(60.0, 60.0, 0.25)  # 240x240 cells
+        cfg = Config()
+        cfg.mapping.mode = fd.MappingMode.GLOBAL
+        cfg.raycasting.enabled = True
+        cfg.point_filter.range_max = 8.0  # window ~64+4 cells < 240
+        m = fd.FastDEM(geom, cfg)
+        I4 = np.eye(4, dtype=np.float32)
+        T_bs = np.eye(4, dtype=np.float32)
+        T_bs[2, 3] = 0.5
+
+        # Seed a phantom obstacle at (2, 0) height 1.0.
+        r, c, _ = geom.index_of(m.state.position, jnp.asarray([2.0, 0.0]))
+        r, c = int(r), int(c)
+        m.state = m.state.replace_layer(
+            layers.elevation, m.state.layers[layers.elevation].at[r, c].set(1.0)
+        )
+        # Rays to a far point pass under the phantom each scan.
+        target = pcm.from_numpy(
+            np.array([[6.0, 0.0, -0.5]], dtype=np.float32)
+        )
+        for _ in range(12):
+            assert m.integrate(target, T_bs, I4)
+        assert bool(jnp.isnan(m.state.layers[layers.elevation][r, c]))
+        assert float(m.state.layers[layers.ghost_removal][r, c]) == 1.0
+
+    def test_outside_window_untouched(self):
+        import fastdem_tpu as fd
+        from fastdem_tpu.cloud import pointcloud as pcm
+
+        geom = GridGeometry.from_length(60.0, 60.0, 0.25)
+        cfg = Config()
+        cfg.mapping.mode = fd.MappingMode.GLOBAL
+        cfg.raycasting.enabled = True
+        cfg.point_filter.range_max = 8.0
+        m = fd.FastDEM(geom, cfg)
+        I4 = np.eye(4, dtype=np.float32)
+        T_bs = np.eye(4, dtype=np.float32)
+        T_bs[2, 3] = 0.5
+        # Obstacle far beyond the ray range: no ray can reach it.
+        r, c, _ = geom.index_of(m.state.position, jnp.asarray([25.0, 0.0]))
+        r, c = int(r), int(c)
+        m.state = m.state.replace_layer(
+            layers.elevation, m.state.layers[layers.elevation].at[r, c].set(1.0)
+        )
+        target = pcm.from_numpy(
+            np.array([[6.0, 0.0, -0.5]], dtype=np.float32)
+        )
+        for _ in range(12):
+            m.integrate(target, T_bs, I4)
+        assert float(m.state.layers[layers.elevation][r, c]) == 1.0
