@@ -231,7 +231,11 @@ def rasterize_scatter(
         id_groups.append(ids + len(id_groups) * stride)
     table_len = len(lanes) * stride
     ZB = 32  # z-presence sub-bins per cell for the distinct-voxel count
-    if with_voxel_count:
+    # The presence table costs ncell * ZB slots — fine for local maps but
+    # O(map area) on large global maps; those use the sort-based count
+    # instead (O(N log N), map-size independent).
+    vox_in_table = with_voxel_count and ncell * ZB <= (1 << 21)
+    if vox_in_table:
         # Distinct-z-voxel presence rides the same fused scatter: mark
         # (cell, zbin mod ZB) slots with 0.0 and count marked slots per
         # cell afterwards (a dense row-sum). Voxels exactly ZB bins apart
@@ -260,12 +264,21 @@ def rasterize_scatter(
         color = jnp.where(jnp.isfinite(c), c, jnp.nan).reshape(shape)
         lane += 1
     voxel_count = None
-    if with_voxel_count:
+    if vox_in_table:
         vox_table = t2[lane * stride : lane * stride + ncell * ZB].reshape(
             ncell, ZB
         )
         voxel_count = jnp.sum(vox_table == 0.0, axis=1).astype(
             jnp.float32
+        ).reshape(shape)
+    elif with_voxel_count:
+        from fastdem_tpu.cloud.filters import voxel_unique_mask
+
+        vm = voxel_unique_mask(xyz, valid, geom.resolution)
+        voxel_count = (
+            jnp.zeros(ncell + 1, dtype=jnp.float32)
+            .at[ids]
+            .add(vm.astype(jnp.float32))[:ncell]
         ).reshape(shape)
 
     return CellObservations(
