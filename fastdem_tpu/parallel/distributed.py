@@ -64,12 +64,24 @@ def save_sharded_npz(path: str, geom, state, frame_id: str = "map") -> bool:
     from fastdem_tpu.grid.gridmap import GridMapState
     from fastdem_tpu.io.npz import save_npz
 
-    gathered = GridMapState(
-        layers={
-            k: jax.device_get(v) for k, v in state.layers.items()
-        },
-        position=jax.device_get(state.position),
-    )
+    if jax.process_count() > 1:
+        # Fetching cross-process shards requires an allgather.
+        from jax.experimental import multihost_utils as mhu
+
+        gathered = GridMapState(
+            layers={
+                k: np.asarray(mhu.process_allgather(v, tiled=True))
+                for k, v in state.layers.items()
+            },
+            position=np.asarray(
+                mhu.process_allgather(state.position, tiled=True)
+            ),
+        )
+    else:
+        gathered = GridMapState(
+            layers={k: jax.device_get(v) for k, v in state.layers.items()},
+            position=jax.device_get(state.position),
+        )
     if jax.process_index() != 0:
         return True
     return save_npz(path, geom, gathered, frame_id=frame_id)

@@ -68,13 +68,33 @@ def state_shardings(mesh: Mesh, state: GridMapState) -> GridMapState:
 
 
 def shard_state(state: GridMapState, mesh: Mesh) -> GridMapState:
-    """Place an existing state onto the mesh with block sharding."""
+    """Place an existing state onto the mesh with block sharding.
+
+    Multi-process meshes cannot ``device_put`` remote shards from one
+    process; there each process materializes its addressable shards from
+    the (identical) host values via make_array_from_callback.
+    """
     sh = state_shardings(mesh, state)
+    if jax.process_count() == 1:
+        return GridMapState(
+            layers={
+                k: jax.device_put(v, sh.layers[k])
+                for k, v in state.layers.items()
+            },
+            position=jax.device_put(state.position, sh.position),
+        )
+
+    def place(value, sharding):
+        host = np.asarray(value)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+
     return GridMapState(
         layers={
-            k: jax.device_put(v, sh.layers[k]) for k, v in state.layers.items()
+            k: place(v, sh.layers[k]) for k, v in state.layers.items()
         },
-        position=jax.device_put(state.position, sh.position),
+        position=place(state.position, sh.position),
     )
 
 

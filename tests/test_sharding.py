@@ -195,3 +195,75 @@ class TestOrbaxCheckpoint:
         save_orbax(path, geom, state)
         geom2, state2, _ = load_orbax(path)
         assert set(state2.layers) == set(state.layers)
+
+
+class TestMultiProcess:
+    """True multi-process validation: 2 processes x 4 virtual CPU devices
+    run the block-sharded global pipeline over one 8-device mesh; the
+    assembled map must match a single-process 8-device run."""
+
+    def test_two_process_matches_single(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        out_multi = str(tmp_path / "mh.npz")
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        procs = []
+        for pid in range(2):
+            procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable, "tools/multihost_demo.py",
+                        "--pid", str(pid), "--nproc", "2",
+                        "--coordinator", "localhost:12411",
+                        "--scans", "4", "--points", "4096",
+                    ]
+                    + ["--out", out_multi],
+                    cwd="/root/repo", env=env,
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    text=True,
+                )
+            )
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+            assert p.returncode == 0, out[-2000:]
+        assert os.path.exists(out_multi), outs[0][-1000:]
+
+        # Single-process 8-device reference run of the same stream.
+        import jax.numpy as jnp
+
+        from fastdem_tpu import Config, GridGeometry, MappingMode
+        from fastdem_tpu.io.npz import load_npz
+        from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
+
+        geom = GridGeometry.from_length(40.0, 40.0, 0.2)
+        cfg = Config()
+        cfg.mapping.mode = MappingMode.GLOBAL
+        cfg.raycasting.enabled = True
+        cfg.point_filter.range_max = 20.0
+        step = build_integrate(geom, cfg, donate=False)
+        state = create_map_state(geom, cfg)
+        rng2 = np.random.default_rng(0)
+        T_bs = jnp.eye(4).at[2, 3].set(1.0)
+        for k in range(4):
+            n = 4096
+            ang = rng2.uniform(0, 2 * np.pi, n)
+            rad = rng2.uniform(0.5, 18.0, n)
+            xyz = np.column_stack(
+                [rad * np.cos(ang), rad * np.sin(ang),
+                 0.2 * np.sin(rad) - 1.0]
+            ).astype(np.float32)
+            state, _ = step(
+                state, jnp.asarray(xyz), jnp.ones(n, bool), T_bs, jnp.eye(4)
+            )
+
+        _, state_mh, _ = load_npz(out_multi)
+        np.testing.assert_allclose(
+            np.asarray(state_mh.layers[layers.elevation]),
+            np.asarray(state.layers[layers.elevation]),
+            rtol=1e-5, atol=1e-6,
+        )
