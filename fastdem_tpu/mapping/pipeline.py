@@ -23,6 +23,7 @@ Hot-path fusions vs. the reference (numerics preserved):
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -222,6 +223,8 @@ def build_integrate(
         # on this backend): when raycasting is on, the polar slope scatter
         # rides the rasterizer's phase-1 scatter.
         extra = None
+        rider = None
+        ray_window = None
         sensor_origin = T_ws[:3, 3]
         if cfg.raycasting.enabled:
             origin_inside = geom.is_inside(state.position, sensor_origin[:2])
@@ -230,17 +233,13 @@ def build_integrate(
                 sensor_origin, ray_num_azimuth, ray_range_bin_factor,
                 ray_max_range,
             )
-        rider = None
-        ray_window = None
-        if cfg.raycasting.enabled:
+
             # The per-cell field lookups are the map-size-scaling cost of
             # raycasting; on maps larger than the ray range, resample only
             # a sensor-centered window (rays cannot reach farther).
-            import math as _math
-
             if ray_max_range is not None:
                 wcells = (
-                    int(_math.ceil(2.0 * ray_max_range / geom.resolution)) + 4
+                    int(math.ceil(2.0 * ray_max_range / geom.resolution)) + 4
                 )
                 wr = min(geom.rows, wcells)
                 wc = min(geom.cols, wcells)
