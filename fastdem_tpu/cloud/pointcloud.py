@@ -57,6 +57,12 @@ class PointCloud:
     channels: Dict[str, jnp.ndarray]
     frame_id: str = dataclasses.field(default="", metadata=dict(static=True))
     timestamp_ns: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Number of points provided at construction (before validity masking);
+    # the host-side 'is this scan empty' check (reference PointCloud::empty)
+    # without forcing a device sync. -1 = unknown.
+    nominal_count: int = dataclasses.field(
+        default=-1, metadata=dict(static=True)
+    )
 
     # -- host-side conveniences -------------------------------------------
     @property
@@ -66,6 +72,13 @@ class PointCloud:
     def count(self) -> int:
         """Number of valid points (device sync)."""
         return int(jnp.sum(self.mask))
+
+    def empty(self) -> bool:
+        """True when no points were provided (host-side, no device sync
+        when nominal_count is known — the hot-path emptiness check)."""
+        if self.nominal_count >= 0:
+            return self.nominal_count == 0
+        return self.capacity == 0 or self.count() == 0
 
     def has(self, channel: str) -> bool:
         return channel in self.channels
@@ -123,6 +136,7 @@ def from_numpy(
         channels=ch_out,
         frame_id=frame_id,
         timestamp_ns=timestamp_ns,
+        nominal_count=n,
     )
 
 

@@ -469,7 +469,7 @@ class FastDEM:
                     "transforms or set providers first."
                 )
                 return False
-            if cloud is None or cloud.count() == 0:
+            if cloud is None or cloud.empty():
                 log.warning("[FastDEM] Received empty or null cloud. Skipping...")
                 return False
             if not cloud.frame_id:
@@ -489,7 +489,7 @@ class FastDEM:
                     cloud.timestamp_ns,
                 )
                 return False
-        elif cloud is None or cloud.count() == 0:
+        elif cloud is None or cloud.empty():
             import logging
 
             logging.getLogger("fastdem_tpu").warning(
