@@ -169,7 +169,6 @@ def build_integrate(
     has_color: bool = False,
     jit: bool = True,
     donate: bool = True,
-    ray_num_samples: Optional[int] = None,
     ray_num_azimuth: int = 2048,
     ray_range_bin_factor: float = 0.5,
     ray_max_range: Optional[float] = None,
