@@ -79,6 +79,9 @@ class MappingDriver:
         # Pluggable sinks (the 'topics'): name -> callback(payload dict).
         self.sinks: Dict[str, Callable[[dict], None]] = {}
         self.postprocess_result: Optional[Dict[str, np.ndarray]] = None
+        # Jitted postprocess variants cached per (uf, inpaint, features) —
+        # re-jitting per service call would recompile every time.
+        self._pp_cache: Dict[tuple, Callable] = {}
 
         self._banner()
 
@@ -145,15 +148,17 @@ class MappingDriver:
                 self.mapper.state,
                 [layers.elevation, layers.upper_bound, layers.lower_bound],
             )
-        cfg = PostProcessConfig(
-            inpainting=self.pp_cfg.inpainting,
-            uncertainty_fusion=self.pp_cfg.uncertainty_fusion,
-            feature_extraction=self.pp_cfg.feature_extraction,
-        )
-        cfg.inpainting.enabled = inpaint
-        cfg.uncertainty_fusion.enabled = uf
-        cfg.feature_extraction.enabled = features
-        fn = jax.jit(apply_postprocess_fn(self.geom, cfg))
+        key = (uf, inpaint, features)
+        fn = self._pp_cache.get(key)
+        if fn is None:
+            import copy
+
+            cfg = copy.deepcopy(self.pp_cfg)
+            cfg.inpainting.enabled = inpaint
+            cfg.uncertainty_fusion.enabled = uf
+            cfg.feature_extraction.enabled = features
+            fn = jax.jit(apply_postprocess_fn(self.geom, cfg))
+            self._pp_cache[key] = fn
         out = fn(
             snap.layers[layers.elevation],
             snap.layers[layers.upper_bound],

@@ -236,3 +236,66 @@ class TestReset:
         assert bool(
             jnp.all(jnp.isnan(m.state.layers[layers.elevation]))
         )
+
+
+class TestEdgeCases:
+    def test_scan_fully_filtered_out(self):
+        """All points removed by filters: integrate succeeds, map untouched
+        (the reference returns false on empty PREPROCESS result; we no-op —
+        same map state either way)."""
+        m = make_mapper(**{"point_filter.z_min": 10.0})
+        pts = np.zeros((50, 3), dtype=np.float32)
+        before = np.asarray(m.state.layers[layers.elevation]).copy()
+        m.integrate(pc.from_numpy(pts), I4, I4)
+        after = np.asarray(m.state.layers[layers.elevation])
+        np.testing.assert_array_equal(before, after)
+
+    def test_scan_fully_outside_map(self):
+        m = make_mapper()
+        pts = np.full((50, 3), 100.0, dtype=np.float32)
+        assert m.integrate(pc.from_numpy(pts), I4, I4)
+        assert np.isnan(np.asarray(m.state.layers[layers.elevation])).all()
+
+    def test_nan_points_ignored(self):
+        m = make_mapper()
+        pts = np.array(
+            [[1.0, 1.0, 0.5], [np.nan, 1.0, 0.5], [1.0, np.nan, 0.5],
+             [1.0, 1.0, np.nan]],
+            dtype=np.float32,
+        )
+        m.integrate(pc.from_numpy(pts), I4, I4)
+        elev = np.asarray(m.state.layers[layers.elevation])
+        assert np.isfinite(elev).sum() == 1
+
+    def test_single_point_scan(self):
+        m = make_mapper()
+        m.integrate(
+            pc.from_numpy(np.array([[0.05, 0.05, 1.0]], dtype=np.float32)),
+            I4, I4,
+        )
+        geom = m.geom
+        r, c, _ = geom.index_of(m.state.position, jnp.array([0.05, 0.05]))
+        assert float(m.state.layers[layers.elevation][int(r), int(c)]) == (
+            pytest.approx(1.0)
+        )
+
+    def test_huge_coordinates_do_not_crash(self):
+        m = make_mapper()
+        pts = np.array([[1e8, -1e8, 1e6]], dtype=np.float32)
+        assert m.integrate(pc.from_numpy(pts), I4, I4)
+
+    def test_move_far_then_return(self):
+        """LOCAL map teleported far away and back: old content gone, new
+        content lands correctly (wrap-invalidation correctness)."""
+        m = make_mapper()
+        m.integrate(flat_ground_cloud(2.0, z=1.0), I4, I4)
+        far = np.eye(4, dtype=np.float32); far[0, 3] = 1e4
+        m.integrate(flat_ground_cloud(2.0, z=2.0), I4, far)
+        back = np.eye(4, dtype=np.float32)
+        m.integrate(flat_ground_cloud(2.0, z=3.0), I4, back)
+        geom = m.geom
+        r, c, _ = geom.index_of(m.state.position, jnp.array([0.0, 0.0]))
+        v = float(m.state.layers[layers.elevation][int(r), int(c)])
+        # Kalman blend of nothing-but-scan-3 => exactly 3.0 (old state was
+        # invalidated twice).
+        assert v == pytest.approx(3.0, abs=1e-4)
