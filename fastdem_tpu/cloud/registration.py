@@ -235,7 +235,13 @@ def align(
     knn_covariance: int = 10,
     voxel_size: float = 0.5,
 ) -> RegistrationResult:
-    """Align source to target (nanopcl::registration::align equivalent)."""
+    """Align source to target (nanopcl::registration::align equivalent).
+
+    Correspondences use a dense [Ns, Nt] distance tile per iteration
+    (MXU-shaped, exact); memory is Ns*Nt*4 bytes, so voxel-downsample
+    inputs beyond ~30K points or use method="vgicp" (whose target is the
+    per-voxel distribution set, bounding Nt by the voxel count).
+    """
     from fastdem_tpu.cloud import normals as nrm
 
     T = jnp.asarray(

@@ -16,8 +16,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import logging
-import math
-from typing import Any, Mapping, Optional
+from typing import Any, Mapping
 
 log = logging.getLogger("fastdem_tpu.config")
 

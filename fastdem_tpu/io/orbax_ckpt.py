@@ -12,10 +12,9 @@ JSON-able metadata dict mirroring the npz schema.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
-import numpy as np
 
 from fastdem_tpu.grid.geometry import GridGeometry
 from fastdem_tpu.grid.gridmap import GridMapState

@@ -28,7 +28,6 @@ import numpy as np
 from fastdem_tpu.cloud import filters as pcf
 from fastdem_tpu.cloud.pointcloud import PointCloud, from_numpy
 from fastdem_tpu.config.config import RasterMethod
-from fastdem_tpu.grid import gridmap
 from fastdem_tpu.grid.geometry import GridGeometry
 from fastdem_tpu.grid.gridmap import GridMapState, layers
 from fastdem_tpu.mapping.rasterize import rasterize_stats

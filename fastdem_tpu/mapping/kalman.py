@@ -17,7 +17,6 @@ Layers created/consumed (ensure_layers mirrors :64-82).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict
 
 import jax.numpy as jnp

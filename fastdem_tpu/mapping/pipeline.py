@@ -24,14 +24,12 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fastdem_tpu.cloud import filters as pcf
 from fastdem_tpu.cloud import transform as tfm
 from fastdem_tpu.config.config import (
     Config,

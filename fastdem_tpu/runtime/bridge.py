@@ -11,7 +11,7 @@ packed-float convention, and submap regions are supported.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import logging
 import threading
-import time
 from typing import Callable, Dict, Optional
 
 import numpy as np

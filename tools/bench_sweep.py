@@ -1,6 +1,5 @@
 #!/usr/bin/env python
 """Full-pipeline A/B sweep of raycast parameterizations (one session)."""
-import json
 import sys
 import time
 
@@ -11,7 +10,7 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-from fastdem_tpu import Config, GridGeometry, MappingMode
+from fastdem_tpu import Config, GridGeometry
 from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
 
 
@@ -65,6 +64,8 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     run_variant("no-raycast", raycast=False)
     run_variant("raycast A=2048 dr=res/2")
+    run_variant("raycast A=2048 dr=res", ray_range_bin_factor=1.0)
+    run_variant("raycast A=1024 dr=res/2", ray_num_azimuth=1024)
 
 
 if __name__ == "__main__":
