@@ -47,19 +47,27 @@ def load_pcd(
         header: Dict[str, List[str]] = {}
         data_mode = None
         while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
+            raw_line = f.readline()
+            if not raw_line:  # EOF before DATA: malformed / truncated header
+                raise ValueError(f"not a PCD file (no DATA line): {path}")
+            line = raw_line.decode("ascii", errors="replace").strip()
             if not line or line.startswith("#"):
                 continue
             key, *vals = line.split()
             header[key.upper()] = vals
             if key.upper() == "DATA":
+                if not vals:
+                    raise ValueError(f"malformed PCD DATA line: {path}")
                 data_mode = vals[0].lower()
                 break
-        fields = header["FIELDS"]
-        sizes = [int(s) for s in header["SIZE"]]
-        types = header["TYPE"]
-        counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
-        n = int(header["POINTS"][0])
+        try:
+            fields = header["FIELDS"]
+            sizes = [int(s) for s in header["SIZE"]]
+            types = header["TYPE"]
+            counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
+            n = int(header["POINTS"][0])
+        except (KeyError, IndexError) as e:
+            raise ValueError(f"malformed PCD header ({e!r}): {path}") from None
 
         dtype_fields = []
         for name, size, typ, cnt in zip(fields, sizes, types, counts):

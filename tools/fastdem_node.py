@@ -98,7 +98,15 @@ def main():
     from fastdem_tpu.runtime.providers import StaticCalibration, TransformBuffer
 
     os.makedirs(args.out, exist_ok=True)
-    cfg = NodeConfig.load(args.config)
+    try:
+        cfg = NodeConfig.load(args.config)
+    except OSError as e:
+        print(
+            f"error: cannot read config '{args.config}': {e} "
+            "(presets live in fastdem_tpu/config/presets/)",
+            file=sys.stderr,
+        )
+        return 2
 
     calib = StaticCalibration(cfg.tf.base_frame)
     T_bs = np.eye(4, dtype=np.float32)

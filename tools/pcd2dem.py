@@ -45,12 +45,19 @@ def main():
     from fastdem_tpu.io import pcd as pcd_io
     from fastdem_tpu.mapping import batch
 
-    if args.input.endswith(".bin"):
-        cloud = pcd_io.load_kitti_bin(args.input)
-    else:
-        cloud = pcd_io.load_pcd(args.input)
+    try:
+        if args.input.endswith(".bin"):
+            cloud = pcd_io.load_kitti_bin(args.input)
+        else:
+            cloud = pcd_io.load_pcd(args.input)
+    except (OSError, ValueError) as e:
+        print(f"error: cannot read '{args.input}': {e}", file=sys.stderr)
+        return 2
     n_in = cloud.count()
     print(f"loaded {n_in} points from {args.input}")
+    if n_in == 0:
+        print(f"error: '{args.input}' contains no points", file=sys.stderr)
+        return 2
 
     cfg = batch.DEMConfig(
         resolution=args.resolution,
