@@ -170,6 +170,8 @@ def build_integrate(
     ray_num_azimuth: int = 2048,
     ray_range_bin_factor: float = 0.5,
     ray_max_range: Optional[float] = None,
+    scatter_mode: str = "packed",
+    voxel_count_mode: str = "exact",
 ):
     """Compile the per-scan integrate step.
 
@@ -178,7 +180,26 @@ def build_integrate(
                 intensity=None, color_packed=None) -> (state, IntegrateAux)
 
     ``xyz`` is the sensor-frame cloud (f32[N, 3]); transforms are 4x4 f32.
+
+    ``scatter_mode``: "packed" (default — single argmin-carry scatter, see
+    rasterize.rasterize_scatter_packed) or "twophase" (two-phase f32
+    scatter; exact reference tie semantics for sub-quantum z ties).
+    ``voxel_count_mode``: "exact" or "span" — the raycaster's observed-
+    evidence multiplicity (rasterize_scatter_packed docstring); "span"
+    requires scatter_mode="packed".
     """
+    if scatter_mode not in ("packed", "twophase"):
+        raise ValueError(f"unknown scatter_mode: {scatter_mode!r}")
+    if voxel_count_mode == "span" and scatter_mode != "packed":
+        raise ValueError('voxel_count_mode="span" requires scatter_mode="packed"')
+    if scatter_mode == "packed":
+        import functools
+
+        raster_fn = functools.partial(
+            raster.rasterize_scatter_packed, voxel_count_mode=voxel_count_mode
+        )
+    else:
+        raster_fn = raster.rasterize_scatter
     sensor = create_sensor_model(cfg.sensor_model)
     pf = cfg.point_filter
     local_mode = cfg.mapping.mode == MappingMode.LOCAL
@@ -269,7 +290,7 @@ def build_integrate(
                 )
                 return smeared.reshape(-1), jnp.concatenate([flat0, flat1])
 
-        obs = raster.rasterize_scatter(
+        obs = raster_fn(
             geom,
             state.position,
             xyz_world,

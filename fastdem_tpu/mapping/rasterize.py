@@ -293,6 +293,202 @@ def rasterize_scatter(
     )
 
 
+def _f32_ordered_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Monotone, involutive f32 <-> int32 reinterpretation: a < b (floats,
+    no NaN) iff map(a) < map(b) (signed int32). Negative floats flip their
+    non-sign bits so two's-complement ordering matches float ordering; the
+    same transform decodes (it is its own inverse on the int side)."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
+
+
+def _i32_ordered_f32(m: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(
+        m ^ ((m >> 31) & jnp.int32(0x7FFFFFFF)), jnp.float32
+    )
+
+
+_IMAX = jnp.int32(0x7FFFFFFF)
+
+
+def rasterize_scatter_packed(
+    geom: GridGeometry,
+    position: jnp.ndarray,
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    z_var: jnp.ndarray,
+    intensity: Optional[jnp.ndarray] = None,
+    color_packed: Optional[jnp.ndarray] = None,
+    with_voxel_count: bool = False,
+    extra_min_scatter=None,
+    phase_gather_rider=None,
+    voxel_count_mode: str = "exact",
+) -> CellObservations:
+    """Single-scatter rasterization with argmin carry (fastest path).
+
+    ``rasterize_scatter`` needs TWO scatter phases because the argmin-carried
+    channels (variance/color of the min-z point) require phase 1's minima.
+    Here ONE int32 scatter-min over a widened table does everything:
+
+      * min-z lane packs ``(quantized z << idx_bits) | point_index`` so the
+        table's minimum yields the argmin point directly; variance/color/
+        exact-z of that point come from a (fused) gather at the argmin.
+      * value-only lanes (max z as -z, intensity as -intensity, the
+        raycaster's polar slopes) use a monotone f32<->int32 bit trick
+        (``_f32_ordered_i32``) — EXACT, no quantization.
+      * the distinct-z-voxel presence sub-table rides along (0 marks).
+
+    vs the two-phase path this removes one scatter op (~0.6 ms fixed cost
+    on this backend) plus the per-point cell-min gather, at the cost of
+    ncell*2 extra gather elements and a quantization-tie deviation: among
+    points whose z differ by less than (scan z-range / 2^(31-idx_bits))
+    (~0.15 mm for 32K-point scans over a 10 m band), the smallest point
+    INDEX wins the argmin, so min_z/variance/color come from that point
+    (reference semantics: first strict min, elevation_mapping.cpp:65-71).
+    max_z / intensity / slopes are bit-identical to rasterize_scatter.
+
+    ``voxel_count_mode``: "exact" counts occupied z-voxels via a presence
+    sub-table (or sort fallback on large maps); "span" approximates the
+    count as the cell's z-extent in voxels (floor(max/res)-floor(min/res)+1,
+    capped at 32 like the presence table) — zero scatter cost and map-size
+    independent, but overcounts cells whose z distribution has gaps (more
+    observed evidence -> ghosts saturate/clear slightly more conservatively).
+    """
+    if voxel_count_mode not in ("exact", "span"):
+        raise ValueError(f"unknown voxel_count_mode: {voxel_count_mode!r}")
+    ncell = geom.num_cells
+    shape = geom.shape
+    n = xyz.shape[0]
+    idx_bits = max(1, (n - 1).bit_length())
+    qmax = (1 << (31 - idx_bits)) - 1  # quantized-z levels
+    ids, inside = geom.cell_id_of(position, xyz[:, :2])
+    valid = mask & inside
+    ids = jnp.where(valid, ids, ncell)
+    z = xyz[:, 2]
+
+    # Per-scan dynamic z quantization for the argmin pack.
+    zlo = jnp.min(jnp.where(valid, z, _INF))
+    zhi = jnp.max(jnp.where(valid, z, -_INF))
+    zrange = jnp.maximum(zhi - zlo, 1e-6)
+    zq = jnp.clip(
+        jnp.floor((z - zlo) / zrange * qmax).astype(jnp.int32), 0, qmax
+    )
+    iota = jnp.arange(n, dtype=jnp.int32)
+    packed = jnp.where(valid, (zq << idx_bits) | iota, _IMAX)
+
+    stride = ncell + 1
+    id_groups = [ids, ids + stride]
+    lanes = [packed, jnp.where(valid, _f32_ordered_i32(-z), _IMAX)]
+    if intensity is not None:
+        id_groups.append(ids + len(id_groups) * stride)
+        lanes.append(jnp.where(valid, _f32_ordered_i32(-intensity), _IMAX))
+    table_len = len(lanes) * stride
+    extra_off = None
+    if extra_min_scatter is not None:
+        e_ids, e_vals, e_size = extra_min_scatter
+        extra_off = table_len
+        id_groups.append(e_ids + table_len)
+        lanes.append(_f32_ordered_i32(e_vals))
+        table_len += e_size
+    ZB = 32
+    vox_in_table = (
+        with_voxel_count
+        and voxel_count_mode == "exact"
+        and ncell * ZB <= (1 << 21)
+    )
+    if vox_in_table:
+        zbin = jnp.floor(z / geom.resolution).astype(jnp.int32)
+        vox_ids = table_len + jnp.minimum(ids, ncell - 1) * ZB + (zbin % ZB)
+        vox_ids = jnp.where(valid, vox_ids, table_len + ncell * ZB)
+        id_groups.append(vox_ids)
+        lanes.append(jnp.zeros(n, dtype=jnp.int32))
+        vox_off = table_len
+        table_len += ncell * ZB + 1
+
+    t = (
+        jnp.full(table_len, _IMAX, dtype=jnp.int32)
+        .at[jnp.concatenate(id_groups)]
+        .min(jnp.concatenate(lanes))
+    )
+
+    packed_t = t[:ncell]
+    touched = packed_t != _IMAX
+    # Untouched cells decode the _IMAX sentinel's low bits (2^idx_bits - 1,
+    # possibly >= n when n is not a power of two) — clamp; the gathered
+    # garbage is masked by ``touched`` below.
+    amin = jnp.minimum(
+        packed_t & jnp.int32((1 << idx_bits) - 1), jnp.int32(n - 1)
+    )
+    max_z = -_i32_ordered_f32(t[stride : stride + ncell])
+    lane = 2
+    max_intensity = None
+    if intensity is not None:
+        mi = -_i32_ordered_f32(t[lane * stride : lane * stride + ncell])
+        max_intensity = jnp.where(
+            jnp.isfinite(mi), mi, jnp.nan
+        ).reshape(shape)
+        lane += 1
+    extra_f32 = None
+    if extra_min_scatter is not None:
+        seg = t[extra_off : extra_off + e_size - 1]
+        extra_f32 = jnp.where(seg == _IMAX, _INF, _i32_ordered_f32(seg))
+
+    # ---- ONE fused gather: z/var/color at the argmin + rider lookups ----
+    bufs = [z, z_var]
+    gidx = [amin, amin + n]
+    if color_packed is not None:
+        bufs.append(color_packed)
+        gidx.append(amin + 2 * n)
+    off = len(bufs) * n
+    if phase_gather_rider is not None:
+        rider_buf, rider_idx = phase_gather_rider(extra_f32)
+        bufs.append(rider_buf)
+        gidx.append(rider_idx + off)
+    g = jnp.concatenate(bufs)[jnp.concatenate(gidx)]
+    min_z = g[:ncell]
+    min_z_var = g[ncell : 2 * ncell]
+    color = None
+    pos = 2 * ncell
+    if color_packed is not None:
+        color = jnp.where(touched, g[pos : pos + ncell], jnp.nan).reshape(shape)
+        pos += ncell
+    extra = g[pos:] if phase_gather_rider is not None else extra_f32
+
+    voxel_count = None
+    if vox_in_table:
+        vox_table = t[vox_off : vox_off + ncell * ZB].reshape(ncell, ZB)
+        voxel_count = (
+            jnp.sum(vox_table == 0, axis=1).astype(jnp.float32).reshape(shape)
+        )
+    elif with_voxel_count and voxel_count_mode == "span":
+        lo = jnp.floor(min_z / geom.resolution)
+        hi = jnp.floor(max_z.reshape(-1) / geom.resolution)
+        voxel_count = jnp.where(
+            touched, jnp.clip(hi - lo + 1.0, 1.0, float(ZB)), 0.0
+        ).reshape(shape)
+    elif with_voxel_count:
+        from fastdem_tpu.cloud.filters import voxel_unique_mask
+
+        vm = voxel_unique_mask(xyz, valid, geom.resolution)
+        voxel_count = (
+            jnp.zeros(ncell + 1, dtype=jnp.float32)
+            .at[ids]
+            .add(vm.astype(jnp.float32))[:ncell]
+        ).reshape(shape)
+
+    nan = jnp.nan
+    return CellObservations(
+        min_z=jnp.where(touched, min_z, nan).reshape(shape),
+        min_z_var=jnp.where(touched, min_z_var, nan).reshape(shape),
+        max_z=jnp.where(touched, max_z, nan).reshape(shape),
+        touched=touched.reshape(shape),
+        max_intensity=max_intensity,
+        color=color,
+        voxel_count=voxel_count,
+        extra=extra,
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class CellStats:

