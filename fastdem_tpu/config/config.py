@@ -122,6 +122,11 @@ class RaycastingConfig:
     log_odds_ghost: float = 0.2
     log_odds_max: float = 2.0
     clear_threshold: float = -1.0
+    # TPU extension (no reference equivalent): observed-evidence multiplicity
+    # source — "exact" (distinct z-voxel count, reference semantics) or
+    # "span" (cell z-extent in voxels; no scatter cost, map-size
+    # independent). See rasterize.rasterize_scatter_packed.
+    voxel_count_mode: str = "exact"
 
 
 @dataclasses.dataclass
@@ -267,6 +272,7 @@ def _parse(root: Mapping) -> Config:
             "clear_threshold",
         ):
             _load(n, key, cfg.raycasting, key)
+        _load(n, "voxel_count_mode", cfg.raycasting, "voxel_count_mode", str)
     n = root.get("sensor_model")
     if n:
         if n.get("type"):
@@ -331,6 +337,10 @@ def validate(cfg: Config) -> None:
         warn_default(
             "raycasting.clear_threshold", rc, "clear_threshold",
             lambda v: v < 0, -1.0,
+        )
+        warn_default(
+            "raycasting.voxel_count_mode", rc, "voxel_count_mode",
+            lambda v: v in ("exact", "span"), "exact",
         )
 
     warn_default(

@@ -171,7 +171,7 @@ def build_integrate(
     ray_range_bin_factor: float = 0.5,
     ray_max_range: Optional[float] = None,
     scatter_mode: str = "packed",
-    voxel_count_mode: str = "exact",
+    voxel_count_mode: Optional[str] = None,
 ):
     """Compile the per-scan integrate step.
 
@@ -186,8 +186,11 @@ def build_integrate(
     scatter; exact reference tie semantics for sub-quantum z ties).
     ``voxel_count_mode``: "exact" or "span" — the raycaster's observed-
     evidence multiplicity (rasterize_scatter_packed docstring); "span"
-    requires scatter_mode="packed".
+    requires scatter_mode="packed". Defaults to
+    ``cfg.raycasting.voxel_count_mode``.
     """
+    if voxel_count_mode is None:
+        voxel_count_mode = cfg.raycasting.voxel_count_mode
     if scatter_mode not in ("packed", "twophase"):
         raise ValueError(f"unknown scatter_mode: {scatter_mode!r}")
     if voxel_count_mode == "span" and scatter_mode != "packed":

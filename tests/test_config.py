@@ -84,6 +84,17 @@ class TestParsing:
         assert cfg.raycasting.enabled
         assert cfg.raycasting.log_odds_ghost == pytest.approx(0.3)
 
+    def test_voxel_count_mode_key(self):
+        # TPU extension key: parsed, and clamped to "exact" when invalid.
+        cfg = parse_config(
+            {"raycasting": {"enabled": True, "voxel_count_mode": "span"}}
+        )
+        assert cfg.raycasting.voxel_count_mode == "span"
+        cfg2 = parse_config(
+            {"raycasting": {"enabled": True, "voxel_count_mode": "bogus"}}
+        )
+        assert cfg2.raycasting.voxel_count_mode == "exact"
+
 
 class TestValidation:
     def test_kalman_min_ge_max_throws(self):
