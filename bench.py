@@ -64,7 +64,8 @@ def chain_time(step, state, scans, masks, tx, reps=3):
     return (time.time() - t0) / (reps * K) * 1e3, compile_s
 
 
-def bench_pipeline(K, N, cfg_mut=None, spread=7.2, geom_m=15.0, res=0.1):
+def bench_pipeline(K, N, cfg_mut=None, spread=7.2, geom_m=15.0, res=0.1,
+                   scatter_mode="packed"):
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
@@ -80,7 +81,7 @@ def bench_pipeline(K, N, cfg_mut=None, spread=7.2, geom_m=15.0, res=0.1):
     scans = jnp.asarray(make_scans(K, N, rng, spread))
     masks = jnp.ones((K, N), dtype=bool)
     tx = jnp.asarray(np.cumsum(rng.normal(0, 0.05, K)).astype(np.float32))
-    step = build_integrate(geom, cfg, jit=False)
+    step = build_integrate(geom, cfg, jit=False, scatter_mode=scatter_mode)
     state = create_map_state(geom, cfg)
     return chain_time(step, state, scans, masks, tx)
 
@@ -92,6 +93,9 @@ def main():
     ap.add_argument("--no-raycast", action="store_true")
     ap.add_argument("--all", action="store_true",
                     help="also run the other BASELINE.md configs")
+    ap.add_argument("--scatter-mode", default="packed",
+                    choices=["packed", "twophase"],
+                    help="rasterizer formulation (A/B within one session)")
     args = ap.parse_args()
 
     import jax
@@ -117,7 +121,10 @@ def main():
     def mut_headline(cfg):
         cfg.raycasting.enabled = not args.no_raycast
 
-    ms, comp = bench_pipeline(args.scans, args.points, mut_headline)
+    ms, comp = bench_pipeline(
+        args.scans, args.points, mut_headline,
+        scatter_mode=args.scatter_mode,
+    )
     log("local kalman lidar + raycast", ms, comp)
 
     if args.all:
