@@ -203,6 +203,31 @@ class TestRasterizePacked:
             np.asarray(jnp.argsort(nz)), np.asarray(jnp.argsort(enc_nz))
         )
 
+    def test_large_map_per_point_path(self, rng):
+        # ncell > 2n triggers the per-point argmin realization (the
+        # cell-indexed gather would scale with MAP AREA); results must
+        # match the sorted oracle exactly on tie-free input.
+        geom = GridGeometry.from_length(30.0, 30.0, 0.1)
+        n = 2000
+        assert geom.num_cells > 2 * n
+        xyz = np.zeros((n, 3), dtype=np.float32)
+        xyz[:, :2] = rng.uniform(-14, 14, size=(n, 2))
+        xyz[:, 2] = rng.uniform(-1, 2, size=n)
+        mask = jnp.asarray(rng.random(n) > 0.1)
+        var = jnp.asarray(rng.uniform(1e-3, 0.05, n).astype(np.float32))
+        a = R.rasterize(
+            geom, POS, jnp.asarray(xyz), mask, var, with_voxel_count=True
+        )
+        b = R.rasterize_scatter_packed(
+            geom, POS, jnp.asarray(xyz), mask, var, with_voxel_count=True
+        )
+        for name in ("min_z", "min_z_var", "max_z", "voxel_count"):
+            x = np.asarray(getattr(a, name))
+            y = np.asarray(getattr(b, name))
+            assert (np.isnan(x) == np.isnan(y)).all(), name
+            fin = np.isfinite(x)
+            np.testing.assert_array_equal(x[fin], y[fin], err_msg=name)
+
     def test_voxel_count_span_vs_exact(self):
         # Two z clusters with a gap: exact counts occupied voxels (2),
         # span counts the full extent (z-gap included).
