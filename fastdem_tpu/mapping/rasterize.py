@@ -443,45 +443,55 @@ def rasterize_scatter_packed(
     # O(n) gather + one O(n) int32 scatter (wins on large maps, where
     # gathering every cell would scale with MAP AREA — a 200 m global map
     # is 4M cells vs a 30K scan).
+    # Fused gathers run in int32 (bit-preserving f32<->i32 casts around
+    # them): under GSPMD a partitioned gather zero-fills non-owned rows and
+    # SUM-combines the partials, and f32 summation flushes denormal bit
+    # patterns (packed colors, bitcast indices) to zero — int32 addition
+    # with 0 is exact. Gathers are dtype-neutral on this backend
+    # (BENCH_NOTES.md), so this costs nothing.
+    _i32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
+    _f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)  # noqa: E731
     if ncell <= 2 * n:
         # Cell path: gather z/var/color at the argmin, fused with the
         # rider's polar-field lookups.
-        bufs = [z, z_var]
+        bufs = [_i32(z), _i32(z_var)]
         gidx = [amin, amin + n]
         if color_packed is not None:
-            bufs.append(color_packed)
+            bufs.append(_i32(color_packed))
             gidx.append(amin + 2 * n)
         off = len(bufs) * n
         if phase_gather_rider is not None:
             rider_buf, rider_idx = phase_gather_rider(extra_f32)
-            bufs.append(rider_buf)
+            bufs.append(_i32(rider_buf))
             gidx.append(rider_idx + off)
         g = jnp.concatenate(bufs)[jnp.concatenate(gidx)]
-        min_z = g[:ncell]
-        min_z_var = g[ncell : 2 * ncell]
+        min_z = _f32(g[:ncell])
+        min_z_var = _f32(g[ncell : 2 * ncell])
         color = None
         pos = 2 * ncell
         if color_packed is not None:
             color = jnp.where(
-                touched, g[pos : pos + ncell], jnp.nan
+                touched, _f32(g[pos : pos + ncell]), jnp.nan
             ).reshape(shape)
             pos += ncell
-        extra = g[pos:] if phase_gather_rider is not None else extra_f32
+        extra = (
+            _f32(g[pos:]) if phase_gather_rider is not None else extra_f32
+        )
     else:
         # Per-point path: find each point's win (amin[ids] == index) with
-        # an O(n) gather (fused with the rider via an int32<->f32 bitcast
-        # of the amin table — gathers are dtype-neutral), then write the
-        # winner's channels with ONE O(n) int32 scatter (unique writer
-        # per cell; involution-encoded, exact).
+        # an O(n) gather (fused with the rider, in int32 — see the cast
+        # rationale above; the rider's f32 field is bitcast, not its
+        # values changed), then write the winner's channels with ONE O(n)
+        # int32 scatter (unique writer per cell; involution-encoded,
+        # exact).
         gather_ids = jnp.minimum(ids, ncell - 1)
-        amin_f32 = jax.lax.bitcast_convert_type(amin, jnp.float32)
         if phase_gather_rider is not None:
             rider_buf, rider_idx = phase_gather_rider(extra_f32)
-            g = jnp.concatenate([amin_f32, rider_buf])[
+            g = jnp.concatenate([amin, _i32(rider_buf)])[
                 jnp.concatenate([gather_ids, rider_idx + ncell])
             ]
-            amin_at_pt = jax.lax.bitcast_convert_type(g[:n], jnp.int32)
-            extra = g[n:]
+            amin_at_pt = g[:n]
+            extra = _f32(g[n:])
         else:
             amin_at_pt = amin[gather_ids]
             extra = extra_f32

@@ -116,10 +116,29 @@ def build_sharded_integrate(
     st_sh = state_shardings(mesh, proto)
     rep = replicated(mesh)
 
-    in_shardings = (st_sh, rep, rep, rep, rep)
-    step = jax.jit(
-        lambda state, xyz, mask, T_bs, T_wb: raw(state, xyz, mask, T_bs, T_wb),
-        in_shardings=in_shardings,
+    # jit in_shardings must match the argument pytree, so the jitted
+    # signature carries exactly the configured channel slots; the wrapper
+    # below restores build_integrate's uniform
+    # (..., intensity=None, color_packed=None) interface.
+    n_chan = int(has_intensity) + int(has_color)
+
+    def fixed(state, xyz, mask, T_bs, T_wb, *chans):
+        intensity = chans[0] if has_intensity else None
+        color = chans[-1] if has_color else None
+        return raw(state, xyz, mask, T_bs, T_wb, intensity, color)
+
+    jitted = jax.jit(
+        fixed,
+        in_shardings=(st_sh,) + (rep,) * (4 + n_chan),
         donate_argnums=(0,) if donate else (),
     )
+
+    def step(state, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None):
+        args = [state, xyz, mask, T_bs, T_wb]
+        if has_intensity:
+            args.append(intensity)
+        if has_color:
+            args.append(color_packed)
+        return jitted(*args)
+
     return step, lambda s: shard_state(s, mesh)

@@ -81,6 +81,67 @@ class TestShardedIntegrate:
                 err_msg=name,
             )
 
+    def test_parity_large_map_per_point_path(self):
+        """Large map (ncell > 2n) exercises the rasterizer's PER-POINT
+        argmin realization, whose fused gather must run in int32:
+        GSPMD partitions gathers with zero-fill + f32 SUM combining, which
+        flushes denormal bit patterns (bitcast argmin indices, packed
+        colors) to zero — regression for the bug where a sharded global
+        map with raycasting came out empty. Colors ride along so the
+        packed-denormal lane is covered too."""
+        from fastdem_tpu.utils.colors import pack_rgb
+
+        geom = GridGeometry.from_length(40.0, 40.0, 0.2)  # 200x200 = 40K
+        cfg = Config()
+        cfg.mapping.mode = MappingMode.GLOBAL
+        cfg.raycasting.enabled = True
+        cfg.point_filter.range_max = 20.0
+        rng = np.random.default_rng(3)
+        n = 4096  # ncell = 40000 > 2n -> per-point path
+        ang = rng.uniform(0, 2 * np.pi, n)
+        rad = rng.uniform(0.5, 18.0, n)
+        xyz = jnp.asarray(
+            np.column_stack(
+                [rad * np.cos(ang), rad * np.sin(ang), 0.2 * np.sin(rad) - 1.0]
+            ).astype(np.float32)
+        )
+        mask = jnp.ones(n, dtype=bool)
+        # Low-byte-only colors bitcast to denormal f32 patterns.
+        color = pack_rgb(
+            jnp.asarray(
+                np.column_stack(
+                    [np.zeros(n), np.zeros(n), rng.integers(1, 255, n)]
+                ).astype(np.float32)
+                / 255.0
+            )
+        )
+        T_bs = I4.at[2, 3].set(1.0)
+
+        step1 = build_integrate(geom, cfg, has_color=True, donate=False)
+        s1 = create_map_state(geom, cfg, has_color=True)
+        mesh = sh.make_mesh(8)
+        stepN, shard = sh.build_sharded_integrate(
+            geom, cfg, mesh, has_color=True, donate=False
+        )
+        sN = shard(create_map_state(geom, cfg, has_color=True))
+        for _ in range(2):
+            s1, _ = step1(s1, xyz, mask, T_bs, I4, None, color)
+            sN, _ = stepN(sN, xyz, mask, T_bs, I4, None, color)
+
+        assert np.isfinite(
+            np.asarray(sN.layers[layers.elevation])
+        ).sum() == np.isfinite(np.asarray(s1.layers[layers.elevation])).sum()
+        for name in s1.layers:
+            a = np.asarray(s1.layers[name])
+            b = np.asarray(sN.layers[name])
+            np.testing.assert_array_equal(
+                np.isnan(a), np.isnan(b), err_msg=name
+            )
+            both = np.isfinite(a) & np.isfinite(b)
+            np.testing.assert_allclose(
+                a[both], b[both], rtol=1e-5, atol=1e-6, err_msg=name
+            )
+
     def test_layers_actually_sharded(self, geom_cfg):
         geom, cfg = geom_cfg
         mesh = sh.make_mesh(8)
