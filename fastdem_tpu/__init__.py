@@ -23,7 +23,12 @@ from fastdem_tpu.config.config import (  # noqa: F401
 )
 from fastdem_tpu.grid.geometry import GridGeometry  # noqa: F401
 from fastdem_tpu.grid.gridmap import GridMapState, layers  # noqa: F401
-from fastdem_tpu.mapping.pipeline import FastDEM, build_integrate, create_map_state  # noqa: F401
+from fastdem_tpu.mapping.pipeline import (  # noqa: F401
+    FastDEM,
+    build_integrate,
+    build_integrate_sequence,
+    create_map_state,
+)
 
 # Submodule conveniences (import cheaply; heavy deps load lazily inside).
 from fastdem_tpu.grid import gridmap  # noqa: F401

@@ -125,11 +125,23 @@ def _update_minmax(state: GridMapState, obs: raster.CellObservations):
     )
 
 
-def _update_obstacle(state: GridMapState, obs: raster.CellObservations):
+def _update_obstacle(
+    state: GridMapState, obs: raster.CellObservations, frame_nonempty
+):
     """Per-frame overwrite: obstacle = max_z iff max_z > min_z else NaN
-    (src/elevation_mapping.cpp:144-152; the layer is cleared first)."""
+    (src/elevation_mapping.cpp:144-152; the layer is cleared first).
+
+    ``frame_nonempty`` (any input point valid BEFORE filtering) gates the
+    overwrite: the reference rejects empty clouds before integrateImpl
+    (src/fastdem.cpp:122-131), so an all-masked frame must be a full no-op
+    — this makes batch-replay padding frames provably inert
+    (build_integrate_sequence). A nonempty scan still clears the layer even
+    if every point is filtered/out-of-map, like the reference."""
     obstacle = jnp.where(
         obs.touched & (obs.max_z > obs.min_z), obs.max_z, jnp.nan
+    )
+    obstacle = jnp.where(
+        frame_nonempty, obstacle, state.layers[layers.obstacle]
     )
     return state.replace_layer(layers.obstacle, obstacle)
 
@@ -307,7 +319,7 @@ def build_integrate(
         )
         state = _estimate(state, cfg, obs)
         state = _update_minmax(state, obs)
-        state = _update_obstacle(state, obs)
+        state = _update_obstacle(state, obs, jnp.any(mask))
         state = _update_intensity(state, obs)
         state = _update_color(state, obs)
 
@@ -365,6 +377,84 @@ def build_integrate(
     return integrate
 
 
+def build_integrate_sequence(
+    geom: GridGeometry,
+    cfg: Config,
+    has_intensity: bool = False,
+    has_color: bool = False,
+    jit: bool = True,
+    donate: bool = True,
+    **step_kwargs,
+):
+    """Compile a batched replay step: K scans integrated in ONE device
+    program (``lax.scan`` over frames).
+
+    The reference's offline workflow is "play the rosbag into fastdem_node"
+    — one host call per scan. On this backend each dispatch pays a fixed
+    host->device round trip (~3-4 ms through the tunnel) that dwarfs the
+    ~2 ms of device compute, so offline replay stages scan batches in HBM
+    and amortizes the dispatch over K frames (measured: ~6 ms/scan
+    interactive vs ~2.3 ms/scan batched; BENCH_NOTES.md).
+
+    Returned signature:
+      integrate_sequence(state, xyz, mask, T_bs, T_wb,
+                         intensity=None, color_packed=None) -> state
+    with ``xyz`` f32[K, N, 3], ``mask`` bool[K, N], ``T_wb`` f32[K, 4, 4],
+    ``T_bs`` either f32[4, 4] (static extrinsic, the common case) or
+    f32[K, 4, 4], optional channels f32[K, N]. Frame k's per-scan aux is
+    not materialized (K clouds of intermediates would pin K*N floats);
+    callers needing aux replay the last frame through build_integrate.
+
+    Equivalence to the per-scan loop: every decision layer (elevation,
+    estimator state, log-odds, ghost clears, min/max/obstacle) matches the
+    one-scan-at-a-time path exactly; the diagnostic min-ray-height layer
+    may differ at isolated polar-bin boundaries because XLA contracts FMAs
+    differently inside the scan body (tests/test_replay.py quantifies
+    this: <=0.1% of cells, bounded by the range-bin height).
+
+    Padding frames: replicate the previous frame's pose with an all-False
+    mask — an empty scan touches no cells and a repeated pose makes LOCAL
+    ``move`` a no-op, so short batches can be padded to a fixed K without
+    affecting the map.
+    """
+    step = build_integrate(
+        geom, cfg, has_intensity, has_color, jit=False, **step_kwargs
+    )
+
+    def integrate_sequence(
+        state, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None
+    ):
+        static_tbs = T_bs.ndim == 2
+        xs = {"xyz": xyz, "mask": mask, "T_wb": T_wb}
+        if not static_tbs:
+            xs["T_bs"] = T_bs
+        if intensity is not None:
+            xs["intensity"] = intensity
+        if color_packed is not None:
+            xs["color"] = color_packed
+
+        def body(s, inp):
+            s, _ = step(
+                s,
+                inp["xyz"],
+                inp["mask"],
+                T_bs if static_tbs else inp["T_bs"],
+                inp["T_wb"],
+                inp.get("intensity"),
+                inp.get("color"),
+            )
+            return s, ()
+
+        state, _ = jax.lax.scan(body, state, xs)
+        return state
+
+    if jit:
+        return jax.jit(
+            integrate_sequence, donate_argnums=(0,) if donate else ()
+        )
+    return integrate_sequence
+
+
 # ---------------------------------------------------------------------------
 # Stateful convenience facade (mirrors the reference FastDEM class surface,
 # include/fastdem/fastdem.hpp:54-160). Keeps the jitted step + host metadata.
@@ -409,6 +499,9 @@ class FastDEM:
         self.on_preprocessed = None
         self.on_rasterized = None
         self.last_aux: Optional[IntegrateAux] = None
+        # Batched-replay programs keyed by (K, N, channels); cleared on
+        # config rebuilds.
+        self._seq_cache = {}
 
     # -- fluent setters (fastdem.cpp:28-77): each rebuilds the step ----------
     def _rebuild(self):
@@ -416,6 +509,7 @@ class FastDEM:
             self.geom, self.cfg, self.has_intensity, self.has_color,
             donate=False,
         )
+        self._seq_cache.clear()
         # Estimator/raycast layer sets may change; merge-preserving rebuild
         # (ensureLayers is exists-guarded in the reference).
         fills = initial_layer_fills(self.cfg, self.has_intensity, self.has_color)
@@ -537,6 +631,171 @@ class FastDEM:
         if self.on_rasterized is not None:
             self.on_rasterized(self.rasterized_cloud(aux))
         return True
+
+    def integrate_sequence(
+        self, clouds, T_base_sensor=None, T_world_base=None, batch: int = 16
+    ) -> int:
+        """Integrate a list of scans with batched device programs.
+
+        Offline-replay counterpart of ``integrate`` (the reference workflow
+        "play a rosbag into fastdem_node", ros2/src/fastdem_ros_node.cpp:178):
+        scans are staged in HBM and integrated ``batch`` frames per dispatch
+        (build_integrate_sequence), amortizing the per-dispatch host round
+        trip. Map state after the call matches calling ``integrate`` per
+        cloud in order (exact on every decision layer; see
+        build_integrate_sequence on the diagnostic ray layer).
+
+        Transforms: either explicit — ``T_world_base`` a [K, 4, 4] array /
+        list, ``T_base_sensor`` one 4x4 or [K, 4, 4] — or omitted to query
+        the providers per cloud (failed lookups drop that scan, like the
+        reference). Clouds are padded to one bucketed capacity; short final
+        chunks are padded with empty frames replicating the last pose (a
+        provable no-op). Channels are used only when every accepted cloud
+        carries them. Returns the number of scans integrated; ``last_aux``
+        is not updated (per-frame aux is not materialized in batch mode).
+        """
+        import logging
+
+        log = logging.getLogger("fastdem_tpu")
+        if batch < 1:
+            raise ValueError("batch must be >= 1")
+
+        explicit = T_world_base is not None
+        if explicit:
+            T_wb_all = np.asarray(T_world_base, dtype=np.float32).reshape(
+                -1, 4, 4
+            )
+            if T_wb_all.shape[0] != len(clouds):
+                raise ValueError(
+                    "T_world_base must provide one pose per cloud"
+                )
+            tbs_arr = np.asarray(
+                jnp.eye(4) if T_base_sensor is None else T_base_sensor,
+                dtype=np.float32,
+            )
+            static_tbs = tbs_arr.shape == (4, 4)
+        elif not self.has_transform_provider():
+            log.error(
+                "[FastDEM] Transform providers not set; use explicit "
+                "transforms or set providers first."
+            )
+            return 0
+
+        items = []  # (cloud, T_bs 4x4 np, T_wb 4x4 np)
+        for i, cloud in enumerate(clouds):
+            if cloud is None or cloud.empty():
+                log.warning("[FastDEM] Empty cloud at %d. Skipping...", i)
+                continue
+            if explicit:
+                tbs = tbs_arr if static_tbs else tbs_arr[i]
+                twb = T_wb_all[i]
+            else:
+                if not cloud.frame_id:
+                    log.error(
+                        "[FastDEM] Cloud %d has no frameId. Skipping...", i
+                    )
+                    continue
+                tbs = self.calibration.get_extrinsic(cloud.frame_id)
+                if tbs is None:
+                    log.warning(
+                        "[FastDEM] Calibration not available for '%s'. "
+                        "Skipping...",
+                        cloud.frame_id,
+                    )
+                    continue
+                twb = self.odometry.get_pose_at(cloud.timestamp_ns)
+                if twb is None:
+                    log.warning(
+                        "[FastDEM] Odometry not available at %d. Skipping...",
+                        cloud.timestamp_ns,
+                    )
+                    continue
+            items.append((cloud, np.asarray(tbs, np.float32),
+                          np.asarray(twb, np.float32)))
+        if not items:
+            return 0
+
+        from fastdem_tpu.cloud.pointcloud import bucket_capacity, pad_to
+
+        cap = bucket_capacity(max(c.capacity for c, _, _ in items))
+        use_int = self.has_intensity and all(
+            c.has("intensity") for c, _, _ in items
+        )
+        use_col = self.has_color and all(c.has("color") for c, _, _ in items)
+        if self.has_intensity and not use_int and any(
+            c.has("intensity") for c, _, _ in items
+        ):
+            log.warning(
+                "[FastDEM] Mixed intensity presence across the batch; "
+                "ignoring the channel for this call."
+            )
+        if self.has_color and not use_col and any(
+            c.has("color") for c, _, _ in items
+        ):
+            log.warning(
+                "[FastDEM] Mixed color presence across the batch; "
+                "ignoring the channel for this call."
+            )
+
+        key = (batch, cap, use_int, use_col)
+        fn = self._seq_cache.get(key)
+        if fn is None:
+            fn = build_integrate_sequence(
+                self.geom, self.cfg, use_int, use_col, donate=False
+            )
+            self._seq_cache[key] = fn
+
+        if use_col:
+            from fastdem_tpu.utils.colors import pack_rgb
+
+        for lo in range(0, len(items), batch):
+            chunk = items[lo : lo + batch]
+            pad_frames = batch - len(chunk)
+            padded = [pad_to(c, cap) for c, _, _ in chunk]
+            xyz = jnp.stack([c.xyz for c in padded])
+            mask = jnp.stack([c.mask for c in padded])
+            tbs = np.stack([t for _, t, _ in chunk])
+            twb = np.stack([t for _, _, t in chunk])
+            if pad_frames:
+                xyz = jnp.concatenate(
+                    [xyz, jnp.broadcast_to(xyz[-1:], (pad_frames,) + xyz.shape[1:])]
+                )
+                mask = jnp.concatenate(
+                    [mask, jnp.zeros((pad_frames, cap), dtype=bool)]
+                )
+                tbs = np.concatenate([tbs, np.repeat(tbs[-1:], pad_frames, 0)])
+                twb = np.concatenate([twb, np.repeat(twb[-1:], pad_frames, 0)])
+            intensity = (
+                jnp.stack([c.channels["intensity"] for c in padded])
+                if use_int
+                else None
+            )
+            if use_int and pad_frames:
+                intensity = jnp.concatenate(
+                    [
+                        intensity,
+                        jnp.zeros((pad_frames, cap), dtype=intensity.dtype),
+                    ]
+                )
+            color = (
+                jnp.stack([pack_rgb(c.channels["color"]) for c in padded])
+                if use_col
+                else None
+            )
+            if use_col and pad_frames:
+                color = jnp.concatenate(
+                    [color, jnp.zeros((pad_frames, cap), dtype=color.dtype)]
+                )
+            self.state = fn(
+                self.state,
+                xyz,
+                mask,
+                jnp.asarray(tbs),
+                jnp.asarray(twb),
+                intensity,
+                color,
+            )
+        return len(items)
 
     def rasterized_cloud(self, aux: IntegrateAux):
         """One point per touched cell at (cell center, min_z) — the

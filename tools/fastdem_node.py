@@ -11,7 +11,8 @@ to --run-postprocess etc. at exit.
 Scan sources:
   --synthetic N           N synthetic VLP-16-like scans with a wandering pose
   --scans DIR             directory of .pcd / .bin files (sorted), with
-  --trajectory FILE       a TUM trajectory supplying T_world_base per scan
+  --trajectory FILE       a TUM (t x y z qx qy qz qw) or KITTI (12-float
+                          3x4) trajectory supplying T_world_base per scan
 
 Usage:
   python tools/fastdem_node.py --config fastdem_tpu/config/presets/local_mapping.yaml \
@@ -57,7 +58,19 @@ def file_scans(scan_dir, trajectory):
     poses = None
     times = None
     if trajectory:
-        times, poses = pcd_io.load_trajectory_tum(trajectory)
+        # TUM lines have 8 columns (t x y z qx qy qz qw); KITTI has 12
+        # (3x4 row-major, one pose per scan, no timestamps).
+        with open(trajectory) as f:
+            first = ""
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    first = line
+                    break
+        if len(first.split()) == 12:
+            poses = pcd_io.load_trajectory_kitti(trajectory)
+        else:
+            times, poses = pcd_io.load_trajectory_tum(trajectory)
     for i, f in enumerate(files):
         cloud = (
             pcd_io.load_kitti_bin(f) if f.endswith(".bin") else pcd_io.load_pcd(f)

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""fastdem_replay: batched offline mapping over a recorded scan sequence.
+
+The reference's offline workflow replays a rosbag into fastdem_node — one
+host call per scan. On TPU each dispatch pays a fixed host->device round
+trip that dwarfs the ~2 ms of device compute, so this tool stages scans in
+HBM and integrates them K frames per device program
+(fastdem_tpu.mapping.pipeline.build_integrate_sequence): the map-state
+result matches the one-scan-at-a-time path exactly on every decision
+layer (see build_integrate_sequence's docstring), at batched throughput.
+
+Scan sources (same conventions as tools/fastdem_node.py):
+  --synthetic N           N synthetic VLP-16-like scans with a wandering pose
+  --scans DIR             directory of .pcd / .bin files (sorted), with
+  --trajectory FILE       a TUM (timestamp tx ty tz qx qy qz qw) or KITTI
+                          (12-float 3x4) trajectory supplying T_world_base
+
+Outputs: final map as npz (+ optional PNG layers) under --out, and a
+throughput line (scans/s, ms/scan) on stderr.
+
+Usage:
+  python tools/fastdem_replay.py --config fastdem_tpu/config/presets/local_mapping.yaml \
+      --synthetic 64 --batch 16 --out /tmp/fastdem_replay [--platform cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from fastdem_node import file_scans, synthetic_scans  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--scans", default=None)
+    ap.add_argument("--trajectory", default=None)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--out", default="/tmp/fastdem_replay")
+    ap.add_argument("--png", action="store_true",
+                    help="also render elevation/variance PNGs")
+    ap.add_argument("--sensor-height", type=float, default=1.0,
+                    help="sensor z offset in the base frame (T_base_sensor)")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/fastdem_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+    from fastdem_tpu.cloud.pointcloud import from_numpy
+    from fastdem_tpu.grid.geometry import GridGeometry
+    from fastdem_tpu.io.npz import save_npz
+    from fastdem_tpu.mapping.pipeline import FastDEM
+    from fastdem_tpu.runtime.node_config import NodeConfig
+
+    try:
+        node_cfg = NodeConfig.load(args.config)
+    except OSError as e:
+        print(
+            f"error: cannot read config '{args.config}': {e} "
+            "(presets live in fastdem_tpu/config/presets/)",
+            file=sys.stderr,
+        )
+        return 2
+    geom = GridGeometry.from_length(
+        node_cfg.map.width, node_cfg.map.height, node_cfg.map.resolution
+    )
+    mapper = FastDEM(geom, node_cfg.pipeline)
+
+    if args.synthetic:
+        source = synthetic_scans(args.synthetic)
+    elif args.scans:
+        source = file_scans(args.scans, args.trajectory)
+    else:
+        raise SystemExit("provide --synthetic N or --scans DIR")
+
+    clouds, poses = [], []
+    for xyz, T_wb, t_ns in source:
+        clouds.append(from_numpy(xyz, timestamp_ns=t_ns))
+        poses.append(T_wb)
+    if not clouds:
+        raise SystemExit("no scans to replay")
+    poses = np.stack(poses).astype(np.float32)
+    T_bs = np.eye(4, dtype=np.float32)
+    T_bs[2, 3] = args.sensor_height
+
+    # Warm-up on the first batch (excludes compile from the timing), then
+    # replay the full sequence on a fresh map.
+    k0 = min(args.batch, len(clouds))
+    mapper.integrate_sequence(clouds[:k0], T_bs, poses[:k0], batch=args.batch)
+    import jax
+
+    jax.block_until_ready(mapper.state.layers)
+    mapper.reset()
+
+    t0 = time.time()
+    n = mapper.integrate_sequence(clouds, T_bs, poses, batch=args.batch)
+    jax.block_until_ready(mapper.state.layers)
+    dt = time.time() - t0
+    print(
+        f"[fastdem_replay] {n} scans in {dt*1e3:.1f} ms "
+        f"({n/dt:.0f} scans/s, {dt/max(n,1)*1e3:.3f} ms/scan, "
+        f"batch={args.batch})",
+        file=sys.stderr,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    out_npz = os.path.join(args.out, "map.npz")
+    save_npz(out_npz, geom, mapper.state, frame_id=mapper.frame_id)
+    print(f"[fastdem_replay] map -> {out_npz}", file=sys.stderr)
+    if args.png:
+        from fastdem_tpu.io.png import save_png
+
+        for layer in ("elevation", "variance"):
+            if layer in mapper.state.layers:
+                p = os.path.join(args.out, f"{layer}.png")
+                if save_png(p, mapper.state, layer):
+                    print(f"[fastdem_replay] {layer} -> {p}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
