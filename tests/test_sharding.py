@@ -151,6 +151,49 @@ class TestShardedIntegrate:
         assert sharding.is_fully_replicated is False
 
 
+class TestShardedPostprocess:
+    def test_stencil_parity_with_single_device(self):
+        """The snapshot postprocess chain (UF + inpaint + features) is all
+        neighborhood stencils; under block sharding GSPMD must insert halo
+        exchanges at every block edge. Parity vs the unsharded run over a
+        map with NaN holes spanning block boundaries."""
+        from fastdem_tpu.config.config import PostProcessConfig
+        from fastdem_tpu.postprocess import apply_postprocess_fn
+
+        geom = GridGeometry.from_length(16.0, 16.0, 0.25)  # 64x64
+        pp = PostProcessConfig()
+        pp.uncertainty_fusion.enabled = True
+        pp.inpainting.enabled = True
+        pp.feature_extraction.enabled = True
+        fn = apply_postprocess_fn(geom, pp)
+
+        rng = np.random.default_rng(7)
+        elev = rng.normal(-1.0, 0.2, geom.shape).astype(np.float32)
+        holes = rng.uniform(size=geom.shape) < 0.15
+        elev[holes] = np.nan
+        upper = elev + 0.2
+        lower = elev - 0.2
+
+        out1 = jax.jit(fn)(elev, upper, lower)
+
+        mesh = sh.make_mesh(8)
+        lyr_sh = sh.map_sharding(mesh)
+        args_sh = tuple(jax.device_put(a, lyr_sh) for a in (elev, upper, lower))
+        outN = jax.jit(fn, in_shardings=(lyr_sh,) * 3)(*args_sh)
+
+        assert set(out1) == set(outN)
+        for name in out1:
+            a = np.asarray(out1[name])
+            b = np.asarray(outN[name])
+            np.testing.assert_array_equal(
+                np.isnan(a), np.isnan(b), err_msg=name
+            )
+            both = np.isfinite(a) & np.isfinite(b)
+            np.testing.assert_allclose(
+                a[both], b[both], rtol=1e-5, atol=1e-5, err_msg=name
+            )
+
+
 class TestDryrun:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
