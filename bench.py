@@ -64,13 +64,39 @@ def chain_time(step, state, scans, masks, tx, reps=3):
     return (time.time() - t0) / (reps * K) * 1e3, compile_s
 
 
+def fused_time(fused, state, scans, masks, tx, reps=3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np_
+
+    K = scans.shape[0]
+    T_bs = jnp.eye(4).at[2, 3].set(1.0)
+    poses = np_.tile(np_.eye(4, dtype=np_.float32), (K, 1, 1))
+    poses[:, 0, 3] = np_.asarray(tx)
+    poses = jnp.asarray(poses)
+
+    t0 = time.time()
+    out = fused(state, scans, masks, T_bs, poses)
+    jax.block_until_ready(out.layers)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(reps):
+        out = fused(state, scans, masks, T_bs, poses)
+    jax.block_until_ready(out.layers)
+    return (time.time() - t0) / (reps * K) * 1e3, compile_s
+
+
 def bench_pipeline(K, N, cfg_mut=None, spread=7.2, geom_m=15.0, res=0.1,
-                   scatter_mode="packed"):
+                   scatter_mode="packed", fused=False):
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
     from fastdem_tpu import Config, GridGeometry
-    from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
+    from fastdem_tpu.mapping.pipeline import (
+        build_integrate,
+        build_integrate_fused,
+        create_map_state,
+    )
 
     geom = GridGeometry.from_length(geom_m, geom_m, res)
     cfg = Config()
@@ -81,14 +107,22 @@ def bench_pipeline(K, N, cfg_mut=None, spread=7.2, geom_m=15.0, res=0.1,
     scans = jnp.asarray(make_scans(K, N, rng, spread))
     masks = jnp.ones((K, N), dtype=bool)
     tx = jnp.asarray(np.cumsum(rng.normal(0, 0.05, K)).astype(np.float32))
-    step = build_integrate(geom, cfg, jit=False, scatter_mode=scatter_mode)
     state = create_map_state(geom, cfg)
+    if fused:
+        fn = build_integrate_fused(
+            geom, cfg, donate=False, scatter_mode=scatter_mode
+        )
+        return fused_time(fn, state, scans, masks, tx)
+    step = build_integrate(geom, cfg, jit=False, scatter_mode=scatter_mode)
     return chain_time(step, state, scans, masks, tx)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scans", type=int, default=16)
+    # K=64 dilutes the host->device dispatch round trip (~10 ms/call via
+    # the tunnel) below 0.2 ms/scan; K=16 overstated ms/scan by ~0.65
+    # (BENCH_NOTES.md "dispatch correction").
+    ap.add_argument("--scans", type=int, default=64)
     ap.add_argument("--points", type=int, default=30000)
     ap.add_argument("--no-raycast", action="store_true")
     ap.add_argument("--all", action="store_true",
@@ -96,6 +130,8 @@ def main():
     ap.add_argument("--scatter-mode", default="packed",
                     choices=["packed", "twophase"],
                     help="rasterizer formulation (A/B within one session)")
+    ap.add_argument("--fused", action="store_true",
+                    help="also measure the K-fused offline-replay program")
     args = ap.parse_args()
 
     import jax
@@ -126,6 +162,13 @@ def main():
         scatter_mode=args.scatter_mode,
     )
     log("local kalman lidar + raycast", ms, comp)
+
+    if args.fused or args.all:
+        msf, cf = bench_pipeline(
+            args.scans, args.points, mut_headline,
+            scatter_mode=args.scatter_mode, fused=True,
+        )
+        log("same, K-fused offline replay", msf, cf)
 
     if args.all:
         from fastdem_tpu.config.config import EstimationType, SensorType
@@ -162,7 +205,7 @@ def main():
 
         # Chained like the pipeline benches (the tunnel backend adds ~5-15 ms
         # of apparent per-dispatch latency that is NOT device time).
-        Kpp = 20
+        Kpp = 64
 
         @jax.jit
         def run_pp(e):

@@ -201,6 +201,59 @@ def build_integrate(
     requires scatter_mode="packed". Defaults to
     ``cfg.raycasting.voxel_count_mode``.
     """
+    phase_a, phase_b, moved_position = _build_phases(
+        geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
+        scatter_mode, voxel_count_mode,
+    )
+    local_mode = cfg.mapping.mode == MappingMode.LOCAL
+
+    def integrate(state, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None):
+        # The map position AFTER the LOCAL move is pure pose arithmetic
+        # (a lattice walk), so the whole per-scan phase A — preprocess,
+        # rasterize, ray-field realization — depends only on the inputs,
+        # not on the carried layers (this is what lets
+        # build_integrate_fused batch phase A across scans).
+        position = (
+            moved_position(state.position, T_wb[:2, 3])
+            if local_mode
+            else state.position
+        )
+        pa = phase_a(position, xyz, mask, T_bs, T_wb, intensity, color_packed)
+        state = phase_b(state, T_wb, jnp.any(mask), pa)
+        obs, _ray, _origin, xyz_world, keep, z_var = pa
+        aux = IntegrateAux(
+            world_xyz=xyz_world, world_mask=keep, z_var=z_var, obs=obs
+        )
+        return state, aux
+
+    if jit:
+        return jax.jit(integrate, donate_argnums=(0,) if donate else ())
+    return integrate
+
+
+def _build_phases(
+    geom: GridGeometry,
+    cfg: Config,
+    ray_num_azimuth: int,
+    ray_range_bin_factor: float,
+    ray_max_range: Optional[float],
+    scatter_mode: str,
+    voxel_count_mode: Optional[str],
+):
+    """Split the integrate step into:
+
+    * ``phase_a(position, xyz, mask, T_bs, T_wb, intensity, color)`` —
+      all per-scan work with no dependence on the carried map layers
+      (preprocess fastdem.cpp:164-190, the fused rasterize scatter/gather,
+      and the polar ray-field realization), given the post-move map
+      position. vmap-able over scans.
+    * ``phase_b(state, T_wb, frame_nonempty, pa)`` — the sequential map
+      update (move, estimator recurrence, layer maintenance, raycast
+      visibility update), all dense elementwise work.
+    * ``moved_position(position, target_xy)`` — gridmap.move's position
+      lattice walk (elevation_mapping.cpp:112-114), exposed so callers can
+      precompute per-scan positions for phase A.
+    """
     if voxel_count_mode is None:
         voxel_count_mode = cfg.raycasting.voxel_count_mode
     if scatter_mode not in ("packed", "twophase"):
@@ -231,7 +284,13 @@ def build_integrate(
     if ray_max_range is None and pf.range_max < 1e6:
         ray_max_range = float(pf.range_max) * 1.1 + 2.0
 
-    def integrate(state, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None):
+    def moved_position(position, target_xy):
+        # Must match gridmap.move's arithmetic exactly (grid/gridmap.py).
+        res = geom.resolution
+        delta = jnp.round((target_xy - position) / res).astype(jnp.int32)
+        return position + delta.astype(jnp.float32) * res
+
+    def phase_a(position, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None):
         # ---- 1. Preprocess (fastdem.cpp:164-190) ----
         T_ws = T_wb @ T_bs
         r3 = T_ws[2, :3]  # third row of the sensor->world rotation
@@ -248,10 +307,6 @@ def build_integrate(
         )
         xyz_world = tfm.transform_points(xyz_base, T_wb)
 
-        # ---- 2. Map update (elevation_mapping.cpp:110-125) ----
-        if local_mode:
-            state = gridmap.move(geom, state, T_wb[:2, 3])
-
         # Fused-scatter formulation (scatter ops carry ~0.6 ms fixed cost
         # on this backend): when raycasting is on, the polar slope scatter
         # rides the rasterizer's phase-1 scatter.
@@ -260,9 +315,9 @@ def build_integrate(
         ray_window = None
         sensor_origin = T_ws[:3, 3]
         if cfg.raycasting.enabled:
-            origin_inside = geom.is_inside(state.position, sensor_origin[:2])
+            origin_inside = geom.is_inside(position, sensor_origin[:2])
             extra = raycast.polar_scatter_spec(
-                geom, state.position, xyz_world, keep & origin_inside,
+                geom, position, xyz_world, keep & origin_inside,
                 sensor_origin, ray_num_azimuth, ray_range_bin_factor,
                 ray_max_range,
             )
@@ -279,7 +334,7 @@ def build_integrate(
             else:
                 wr, wc = geom.rows, geom.cols
             if (wr, wc) != (geom.rows, geom.cols):
-                sr, sc, _ = geom.index_of(state.position, sensor_origin[:2])
+                sr, sc, _ = geom.index_of(position, sensor_origin[:2])
                 r0 = jnp.clip(sr, 0, geom.rows) - wr // 2
                 r0 = jnp.clip(r0, 0, geom.rows - wr)
                 c0 = jnp.clip(sc, 0, geom.cols) - wc // 2
@@ -290,7 +345,7 @@ def build_integrate(
             # field lookups into the rasterizer's min-z gather (gathers
             # serialize with a large fixed cost, like scatters).
             a0, a1, r_idx, ray_in_range = raycast.resample_indices(
-                geom, state.position, sensor_origin,
+                geom, position, sensor_origin,
                 ray_num_azimuth, ray_range_bin_factor, ray_max_range,
                 window=ray_window,
             )
@@ -307,7 +362,7 @@ def build_integrate(
 
         obs = raster_fn(
             geom,
-            state.position,
+            position,
             xyz_world,
             keep,
             z_var,
@@ -317,13 +372,10 @@ def build_integrate(
             extra_min_scatter=extra,
             phase_gather_rider=rider,
         )
-        state = _estimate(state, cfg, obs)
-        state = _update_minmax(state, obs)
-        state = _update_obstacle(state, obs, jnp.any(mask))
-        state = _update_intensity(state, obs)
-        state = _update_color(state, obs)
 
-        # ---- 3. Raycasting (fastdem.cpp:152-159) ----
+        # ---- Ray-field realization (the dense tail of the polar
+        # raycast; fastdem.cpp:152-159 / src/raycasting.cpp:46-139) ----
+        ray = None
         if cfg.raycasting.enabled:
             # Observed-evidence multiplicity comes from the rasterizer's
             # distinct-z-voxel counts (the reference voxel-downsamples the
@@ -354,27 +406,128 @@ def build_integrate(
                 h_cell = jnp.minimum(h0, h1)
                 ray_touched = jnp.isfinite(h_cell) & ray_in_range
                 ray_min = jnp.where(ray_touched, h_cell, jnp.nan)
+            ray = (ray_min, ray_touched)
+
+        return obs, ray, sensor_origin, xyz_world, keep, z_var
+
+    def phase_b(state, T_wb, frame_nonempty, pa):
+        obs, ray, sensor_origin, _xyz_world, _keep, _z_var = pa
+        # ---- 2. Map update (elevation_mapping.cpp:110-125) ----
+        if local_mode:
+            state = gridmap.move(geom, state, T_wb[:2, 3])
+        state = _estimate(state, cfg, obs)
+        state = _update_minmax(state, obs)
+        state = _update_obstacle(state, obs, frame_nonempty)
+        state = _update_intensity(state, obs)
+        state = _update_color(state, obs)
+
+        # ---- 3. Raycasting visibility update (src/raycasting.cpp) ----
+        if cfg.raycasting.enabled:
             state = raycast.apply_raycasting(
                 geom,
                 state,
-                xyz_world,
-                keep,
+                None,  # xyz unused: obs_count + ray_min_touched provided
+                None,
                 sensor_origin,
                 cfg.raycasting,
                 obs_count=obs.voxel_count,
                 num_azimuth=ray_num_azimuth,
                 range_bin_factor=ray_range_bin_factor,
-                ray_min_touched=(ray_min, ray_touched),
+                ray_min_touched=ray,
+            )
+        return state
+
+    return phase_a, phase_b, moved_position
+
+
+def build_integrate_fused(
+    geom: GridGeometry,
+    cfg: Config,
+    has_intensity: bool = False,
+    has_color: bool = False,
+    jit: bool = True,
+    donate: bool = True,
+    ray_num_azimuth: int = 2048,
+    ray_range_bin_factor: float = 0.5,
+    ray_max_range: Optional[float] = None,
+    scatter_mode: str = "packed",
+    voxel_count_mode: Optional[str] = None,
+):
+    """K-fused replay step: batch the irregular ops of K scans into single
+    device ops, keeping only the (dense, cheap) map recurrence sequential.
+
+    The per-scan cost on this backend is dominated by the FIXED overhead
+    of its two irregular ops (one widened scatter, one fused gather,
+    ~0.6 ms each) plus an apparent ~0.5 ms per scan-loop iteration; the
+    per-element costs are small. Phase A of the pipeline — preprocess,
+    rasterize, polar ray field — depends only on the scan and the map
+    POSITION (a pose-only lattice walk, precomputed with a tiny scan), so
+    it is vmapped over K scans: XLA batches the K scatters into ONE
+    scatter and the K gathers into ONE gather. Phase B (move roll,
+    estimator recurrence, layer updates, raycast log-odds) stays a
+    lax.scan — it is the order-dependent part and is all dense VPU work.
+
+    Same signature/semantics as build_integrate_sequence. Numerics: the
+    vmapped phase A computes the same per-scan expressions, but XLA may
+    contract FMAs differently under the batch dimension, so results can
+    differ from the sequential path by float-associativity-level noise at
+    discrete bin boundaries (quantified in tests/test_replay.py).
+
+    STATUS (measured, v5e via the remote backend): SLOWER than the
+    sequential scan — 3.4 vs 1.8 ms/scan at K=64 (`bench.py --fused`).
+    The batched scatter XLA emits for vmapped `.at[].min` (operand batch
+    dims) executes far worse than K independent 1D scatters, and the
+    hypothesis that motivated this path (a large fixed cost per scatter
+    op) turned out to be host dispatch overhead diluted by K, not device
+    time (BENCH_NOTES.md "dispatch correction"). Kept as an A/B harness
+    and because the phase split it motivated also serves
+    build_integrate; prefer build_integrate_sequence for replay.
+    """
+    phase_a, phase_b, moved_position = _build_phases(
+        geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
+        scatter_mode, voxel_count_mode,
+    )
+    local_mode = cfg.mapping.mode == MappingMode.LOCAL
+
+    def fused(state, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None):
+        K = xyz.shape[0]
+        if local_mode:
+            def pos_step(p, target):
+                p2 = moved_position(p, target)
+                return p2, p2
+
+            _, positions = jax.lax.scan(
+                pos_step, state.position, T_wb[:, :2, 3]
+            )
+        else:
+            positions = jnp.broadcast_to(
+                state.position, (K,) + state.position.shape
             )
 
-        aux = IntegrateAux(
-            world_xyz=xyz_world, world_mask=keep, z_var=z_var, obs=obs
-        )
-        return state, aux
+        static_tbs = T_bs.ndim == 2
+        pa = jax.vmap(
+            phase_a,
+            in_axes=(
+                0, 0, 0,
+                None if static_tbs else 0,
+                0,
+                None if intensity is None else 0,
+                None if color_packed is None else 0,
+            ),
+        )(positions, xyz, mask, T_bs, T_wb, intensity, color_packed)
+
+        frame_nonempty = jnp.any(mask, axis=1)
+
+        def body(s, inp):
+            pa_k, twb_k, fne_k = inp
+            return phase_b(s, twb_k, fne_k, pa_k), ()
+
+        state, _ = jax.lax.scan(body, state, (pa, T_wb, frame_nonempty))
+        return state
 
     if jit:
-        return jax.jit(integrate, donate_argnums=(0,) if donate else ())
-    return integrate
+        return jax.jit(fused, donate_argnums=(0,) if donate else ())
+    return fused
 
 
 def build_integrate_sequence(

@@ -372,6 +372,8 @@ def apply_raycasting(
     from the rasterizer; computed here via a scatter when absent
     (standalone use). ``xyz``/``scan_mask`` is the scan in the world frame;
     when obs_count is None, the mask should already be voxel-downsampled.
+    Both may be None when ``obs_count`` AND ``ray_min_touched`` are
+    provided (the fused pipeline passes only the precomputed dense fields).
     ``polar_table``: pre-scattered [A*R] min-slope table (the pipeline
     fuses that scatter with the rasterizer's — see polar_scatter_spec).
     """
@@ -379,7 +381,7 @@ def apply_raycasting(
     shape = geom.shape
 
     origin_inside = geom.is_inside(state.position, sensor_origin[:2])
-    active = scan_mask & origin_inside
+    active = None if scan_mask is None else scan_mask & origin_inside
 
     # ---- 1. Observed evidence (add-then-clamp, :165-169) ----
     if obs_count is None:

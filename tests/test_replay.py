@@ -22,6 +22,7 @@ from fastdem_tpu.grid.gridmap import layers
 from fastdem_tpu.mapping.pipeline import (
     FastDEM,
     build_integrate,
+    build_integrate_fused,
     build_integrate_sequence,
     create_map_state,
 )
@@ -153,6 +154,69 @@ def test_padding_frames_are_noop(geom, rng):
         jnp.asarray(T_bs), jnp.asarray(poses_p),
     )
     _assert_states_equal(s_a, s_b)
+
+
+@pytest.mark.parametrize("raycast", [False, True])
+def test_fused_matches_step_loop(geom, rng, raycast):
+    """build_integrate_fused batches phase A (scatter/gather) across K
+    scans via vmap; the map state must match the sequential loop (same
+    per-scan expressions — exact here; the vmapped compilation may in
+    principle differ by FMA contraction at discrete bin boundaries, which
+    the raycasting-layer tolerance in _assert_states_equal absorbs)."""
+    cfg = Config()
+    cfg.raycasting.enabled = raycast
+    K, N = 5, 4096
+    xyz, poses = _scans(K, N, rng)
+    mask = np.ones((K, N), dtype=bool)
+    mask[2, 1000:] = False  # one sparse frame
+    T_bs = np.eye(4, dtype=np.float32)
+    T_bs[2, 3] = 1.0
+
+    step = build_integrate(geom, cfg, donate=False)
+    s_loop = create_map_state(geom, cfg)
+    for k in range(K):
+        s_loop, _ = step(
+            s_loop, jnp.asarray(xyz[k]), jnp.asarray(mask[k]),
+            jnp.asarray(T_bs), jnp.asarray(poses[k]),
+        )
+
+    fused = build_integrate_fused(geom, cfg, donate=False)
+    s_fused = fused(
+        create_map_state(geom, cfg),
+        jnp.asarray(xyz), jnp.asarray(mask),
+        jnp.asarray(T_bs), jnp.asarray(poses),
+    )
+    _assert_states_equal(s_fused, s_loop)
+
+
+def test_fused_local_mode_follows_robot(geom, rng):
+    """LOCAL-mode positions are precomputed as a pose lattice walk inside
+    the fused program; the final position and moved layers must match the
+    sequential path."""
+    cfg = Config()
+    cfg.mapping.mode = MappingMode.LOCAL
+    K, N = 6, 2048
+    xyz, poses = _scans(K, N, rng, step_x=0.75)
+    mask = np.ones((K, N), dtype=bool)
+    T_bs = np.eye(4, dtype=np.float32)
+
+    step = build_integrate(geom, cfg, donate=False)
+    s_loop = create_map_state(geom, cfg)
+    for k in range(K):
+        s_loop, _ = step(
+            s_loop, jnp.asarray(xyz[k]), jnp.asarray(mask[k]),
+            jnp.asarray(T_bs), jnp.asarray(poses[k]),
+        )
+    fused = build_integrate_fused(geom, cfg, donate=False)
+    s_fused = fused(
+        create_map_state(geom, cfg),
+        jnp.asarray(xyz), jnp.asarray(mask),
+        jnp.asarray(T_bs), jnp.asarray(poses),
+    )
+    # Position snaps to the grid lattice; it must track the robot to within
+    # half a cell and match the sequential walk exactly.
+    assert abs(float(s_fused.position[0]) - 0.75 * (K - 1)) <= 0.05 + 1e-6
+    _assert_states_equal(s_fused, s_loop)
 
 
 def test_facade_sequence_matches_integrate(geom, rng):

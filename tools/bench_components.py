@@ -19,7 +19,7 @@ from fastdem_tpu.mapping import rasterize as R
 from fastdem_tpu.mapping.pipeline import create_map_state
 from fastdem_tpu.postprocess import raycasting as RC
 
-K = 20
+K = 64
 
 
 def chained(fn, *args, reps=3):
