@@ -182,6 +182,7 @@ def build_integrate(
     ray_num_azimuth: int = 2048,
     ray_range_bin_factor: float = 0.5,
     ray_max_range: Optional[float] = None,
+    ray_exact_window: bool = True,
     scatter_mode: str = "packed",
     voxel_count_mode: Optional[str] = None,
 ):
@@ -203,7 +204,7 @@ def build_integrate(
     """
     phase_a, phase_b, moved_position = _build_phases(
         geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
-        scatter_mode, voxel_count_mode,
+        scatter_mode, voxel_count_mode, ray_exact_window,
     )
     local_mode = cfg.mapping.mode == MappingMode.LOCAL
 
@@ -239,6 +240,7 @@ def _build_phases(
     ray_max_range: Optional[float],
     scatter_mode: str,
     voxel_count_mode: Optional[str],
+    ray_exact_window: bool = True,
 ):
     """Split the integrate step into:
 
@@ -341,9 +343,13 @@ def _build_phases(
                 c0 = jnp.clip(c0, 0, geom.cols - wc)
                 ray_window = (r0, c0, wr, wc)
 
-            # Between the scatter phases, fold the raycaster's two
-            # field lookups into the rasterizer's min-z gather (gathers
-            # serialize with a large fixed cost, like scatters).
+            # Between the scatter phases, fold the raycaster's field
+            # lookups into the rasterizer's min-z gather (gathers
+            # serialize with a large fixed cost, like scatters). With
+            # ray_exact_window the smear already covers the exact azimuth
+            # window, so ONE lookup per cell replaces the two-gather
+            # sparse-table form (bitwise-identical heights, half the
+            # serialized gather elements).
             a0, a1, r_idx, ray_in_range = raycast.resample_indices(
                 geom, position, sensor_origin,
                 ray_num_azimuth, ray_range_bin_factor, ray_max_range,
@@ -351,14 +357,19 @@ def _build_phases(
             )
             # [R, A] field layout: flat = r * A + a.
             flat0 = (r_idx * ray_num_azimuth + a0).reshape(-1)
-            flat1 = (r_idx * ray_num_azimuth + a1).reshape(-1)
+            if ray_exact_window:
+                flat_idx = flat0
+            else:
+                flat1 = (r_idx * ray_num_azimuth + a1).reshape(-1)
+                flat_idx = jnp.concatenate([flat0, flat1])
 
             def rider(polar_table):
                 smeared = raycast.polar_smeared_field(
                     geom, sensor_origin, polar_table,
                     ray_num_azimuth, ray_range_bin_factor, ray_max_range,
+                    exact_window=ray_exact_window,
                 )
-                return smeared.reshape(-1), jnp.concatenate([flat0, flat1])
+                return smeared.reshape(-1), flat_idx
 
         obs = raster_fn(
             geom,
@@ -386,10 +397,13 @@ def _build_phases(
             if ray_window is not None:
                 r0, c0, wr, wc = ray_window
                 nwin = wr * wc
-                h_cell_w = jnp.minimum(
-                    obs.extra[:nwin].reshape(wr, wc),
-                    obs.extra[nwin:].reshape(wr, wc),
-                )
+                if ray_exact_window:
+                    h_cell_w = obs.extra[:nwin].reshape(wr, wc)
+                else:
+                    h_cell_w = jnp.minimum(
+                        obs.extra[:nwin].reshape(wr, wc),
+                        obs.extra[nwin:].reshape(wr, wc),
+                    )
                 touched_w = jnp.isfinite(h_cell_w) & ray_in_range
                 ray_min = jax.lax.dynamic_update_slice(
                     jnp.full(geom.shape, jnp.nan),
@@ -401,9 +415,12 @@ def _build_phases(
                 )
             else:
                 ncell = geom.num_cells
-                h0 = obs.extra[:ncell].reshape(geom.shape)
-                h1 = obs.extra[ncell:].reshape(geom.shape)
-                h_cell = jnp.minimum(h0, h1)
+                if ray_exact_window:
+                    h_cell = obs.extra[:ncell].reshape(geom.shape)
+                else:
+                    h0 = obs.extra[:ncell].reshape(geom.shape)
+                    h1 = obs.extra[ncell:].reshape(geom.shape)
+                    h_cell = jnp.minimum(h0, h1)
                 ray_touched = jnp.isfinite(h_cell) & ray_in_range
                 ray_min = jnp.where(ray_touched, h_cell, jnp.nan)
             ray = (ray_min, ray_touched)
@@ -450,6 +467,7 @@ def build_integrate_fused(
     ray_num_azimuth: int = 2048,
     ray_range_bin_factor: float = 0.5,
     ray_max_range: Optional[float] = None,
+    ray_exact_window: bool = True,
     scatter_mode: str = "packed",
     voxel_count_mode: Optional[str] = None,
 ):
@@ -485,7 +503,7 @@ def build_integrate_fused(
     """
     phase_a, phase_b, moved_position = _build_phases(
         geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
-        scatter_mode, voxel_count_mode,
+        scatter_mode, voxel_count_mode, ray_exact_window,
     )
     local_mode = cfg.mapping.mode == MappingMode.LOCAL
 

@@ -176,17 +176,26 @@ def polar_resample(
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
     max_range: Optional[float] = None,
+    exact_window: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Continue from the scattered [R*A] min slopes to per-cell heights."""
+    """Continue from the scattered [R*A] min slopes to per-cell heights.
+
+    ``exact_window=True`` folds the window residual into the field
+    (polar_smeared_field) so ONE lookup per cell replaces the two-gather
+    sparse-table form — same minimum set, bitwise-identical heights.
+    """
     smeared = polar_smeared_field(
         geom, sensor_origin, scat_flat, num_azimuth, range_bin_factor,
-        max_range,
+        max_range, exact_window=exact_window,
     )
     a0, a1, r_idx, in_range = resample_indices(
         geom, position, sensor_origin, num_azimuth, range_bin_factor,
         max_range,
     )
-    h_cell = jnp.minimum(smeared[r_idx, a0], smeared[r_idx, a1])
+    if exact_window:
+        h_cell = smeared[r_idx, a0]
+    else:
+        h_cell = jnp.minimum(smeared[r_idx, a0], smeared[r_idx, a1])
     touched = jnp.isfinite(h_cell) & in_range
     return jnp.where(touched, h_cell, jnp.nan), touched
 
@@ -198,6 +207,7 @@ def polar_smeared_field(
     num_azimuth: int = 2048,
     range_bin_factor: float = 0.5,
     max_range: Optional[float] = None,
+    exact_window: bool = False,
 ) -> jnp.ndarray:
     """Scattered [R*A] min slopes -> azimuth-smeared height field [R, A]."""
     A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor, max_range)
@@ -218,18 +228,39 @@ def polar_smeared_field(
     # A cell at distance d spans an azimuth window w(d) that depends (for a
     # fixed geometry) only on the range bin, so the smear level per column
     # is STATIC: each column is smeared to the power-of-two window
-    # 2^floor(log2(w)) by doubling circular roll-mins with static column
-    # masks, and the exact window-w minimum comes from the classic
+    # p = 2^floor(log2(w)) by doubling circular roll-mins with static
+    # column masks; the exact window-w minimum then comes from the classic
     # sparse-table trick — two overlapping half-window gathers — without
     # materializing an [L, A, R] table. ~9 dense masked passes + 2 gathers
     # per cell (XLA:TPU gathers serialize, so gather count is the cost
     # that matters).
-    lvl_static = _column_levels(geom, A, R, dr)  # np.int32[R]
+    lvl_static, shift_static = _column_windows(geom, A, R, dr)
     smeared = h_polar
     for k in range(int(np.max(lvl_static))):
         rowmask = jnp.asarray(lvl_static > k, dtype=bool)[:, None]
         shifted = jnp.roll(smeared, -(1 << k), axis=1)
         smeared = jnp.where(rowmask, jnp.minimum(smeared, shifted), smeared)
+    if exact_window:
+        # Fold the sparse-table second lookup into the field: accumulate
+        # masked roll-mins at each set bit of s = w - p. After the bit-b
+        # pass, entry a covers the union of p-windows at every offset that
+        # is a subset-sum of s's processed bits; consecutive achievable
+        # offsets differ by at most the largest bit of s < p, so the
+        # p-windows overlap and the union is the CONTIGUOUS range
+        # [a, a + s + p - 1] = the exact w-bin window. One gather per cell
+        # then suffices (resample_indices(exact_window=True)), trading
+        # ~log2(max s) dense passes (cheap) for half the serialized gather
+        # elements. Bitwise identical to the two-gather form (same min
+        # set).
+        max_shift = int(np.max(shift_static))
+        for b in range(max(0, max_shift).bit_length()):
+            rowmask = jnp.asarray(
+                (shift_static >> b) & 1 == 1, dtype=bool
+            )[:, None]
+            shifted = jnp.roll(smeared, -(1 << b), axis=1)
+            smeared = jnp.where(
+                rowmask, jnp.minimum(smeared, shifted), smeared
+            )
     return smeared
 
 
@@ -303,15 +334,20 @@ def resample_indices(
     return a0, a1, r_idx, in_range
 
 
-def _column_levels(geom: GridGeometry, A: int, R: int, dr: float) -> np.ndarray:
-    """Static per-range-column smear levels floor(log2(w))."""
+def _column_windows(
+    geom: GridGeometry, A: int, R: int, dr: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Static per-range-column azimuth windows: (level, shift) with
+    level = floor(log2(w)) and shift = w - 2^level (the sparse-table
+    residual; see polar_smeared_field's exact_window fold)."""
     d = np.arange(R, dtype=np.float32) * dr
     half_w = np.arctan2(geom.resolution * 0.6, np.maximum(d, 1e-6))
     w = np.clip(
         np.ceil(half_w / (2 * np.pi / A) * 2.0).astype(np.int32) + 1,
         1, A // 2,
     )
-    return np.floor(np.log2(np.maximum(w, 1))).astype(np.int32)
+    lvl = np.floor(np.log2(np.maximum(w, 1))).astype(np.int32)
+    return lvl, (w - (1 << lvl)).astype(np.int32)
 
 
 def ray_min_height_sampled(

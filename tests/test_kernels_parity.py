@@ -94,6 +94,26 @@ class TestRaycastParity:
         # Polar uses all rays -> its min should rarely exceed the oracle.
         assert (diff > 0.15).mean() < 0.02
 
+    def test_exact_window_single_gather_bitwise(self, rng):
+        """The exact_window fold (bit-decomposed masked roll-mins over the
+        window residual s = w - 2^floor(log2 w)) makes ONE lookup per cell
+        cover the same w-bin azimuth window as the two-gather sparse-table
+        form: the achievable offsets are subset-sums of s's bits, whose
+        p-windows overlap (max gap <= max bit of s < p), so the union is
+        contiguous. Min over the identical set => bitwise-equal heights."""
+        geom = GridGeometry.from_length(12.0, 12.0, 0.1)
+        pos = jnp.zeros(2)
+        xyz, mask, _, _ = lidar_scene(rng, n=4000)
+        origin = jnp.asarray([0.3, -0.2, 0.8])
+        key, vals, size = RC.polar_scatter_spec(geom, pos, xyz, mask, origin)
+        table = jnp.full(size, jnp.inf, jnp.float32).at[key].min(vals)[: size - 1]
+        h2, t2 = RC.polar_resample(geom, pos, origin, table)
+        h1, t1 = RC.polar_resample(
+            geom, pos, origin, table, exact_window=True
+        )
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
     def test_polar_covers_sampled_cells(self, rng):
         geom = GridGeometry.from_length(12.0, 12.0, 0.1)
         pos = jnp.zeros(2)
