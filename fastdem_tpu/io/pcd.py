@@ -245,6 +245,22 @@ def load_trajectory_tum(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return ts, poses
 
 
+def load_trajectory(path: str):
+    """Auto-detecting trajectory loader: TUM lines have 8 columns
+    (t x y z qx qy qz qw), KITTI has 12 (3x4 row-major, no timestamps).
+    Returns (times_s | None, poses f32[N, 4, 4])."""
+    with open(path) as f:
+        first = ""
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                first = line
+                break
+    if len(first.split()) == 12:
+        return None, load_trajectory_kitti(path)
+    return load_trajectory_tum(path)
+
+
 def load_trajectory_kitti(path: str) -> np.ndarray:
     """KITTI format: 12 floats per line (3x4 row-major). -> f32[N, 4, 4]."""
     data = np.loadtxt(path, ndmin=2)

@@ -22,7 +22,11 @@ import numpy as np
 log = logging.getLogger("fastdem_tpu.native")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "src", "pcdio.cpp")
+_SRCS = [
+    os.path.join(_HERE, "src", "pcdio.cpp"),
+    os.path.join(_HERE, "src", "scanstream.cpp"),
+]
+_SRC = _SRCS[0]
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB = os.path.join(_BUILD_DIR, "libfastdem_io.so")
 
@@ -46,11 +50,12 @@ class _CloudBuffers(ctypes.Structure):
 def _build() -> Optional[str]:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     try:
-        src_mtime = os.path.getmtime(_SRC)
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
         if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
             return _LIB
         cmd = [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB,
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", *_SRCS,
+            "-o", _LIB, "-pthread",
         ]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _LIB
@@ -83,6 +88,19 @@ def _get() -> Optional[ctypes.CDLL]:
         ]
         lib.fastdem_save_pcd.restype = ctypes.c_int32
         lib.fastdem_free_cloud.argtypes = [ctypes.POINTER(_CloudBuffers)]
+        lib.fastdem_stream_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.fastdem_stream_open.restype = ctypes.c_void_p
+        lib.fastdem_stream_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.fastdem_stream_next.restype = ctypes.c_int64
+        lib.fastdem_stream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -178,3 +196,112 @@ def save_pcd(path: str, xyz: np.ndarray, intensity=None, rgb=None) -> bool:
         xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pi, pr,
     )
     return rc == 0
+
+
+class ScanStream:
+    """Prefetching scan loader: a native worker pool parses .pcd/.bin
+    files ahead of the consumer and yields (xyz f32[cap, 3], mask
+    bool[cap], intensity f32[cap] | None) IN FILE ORDER, pre-padded to a
+    fixed capacity (the PointCloud padding convention, so results feed
+    jitted pipelines without re-bucketing).
+
+    This is the data-loader half of offline replay
+    (tools/fastdem_replay.py --prefetch): file parsing overlaps device
+    compute. Falls back to a sequential pure-Python loader when no
+    toolchain is available — identical interface and padding.
+
+    Files that fail to parse yield an all-masked (empty) frame and are
+    counted in ``errors`` — consumers drop them, matching the
+    reference's warn-and-skip (fastdem.cpp:85-117).
+    """
+
+    def __init__(self, paths, capacity: int, threads: int = 4,
+                 ring: int = 8, with_intensity: bool = False):
+        self.paths = [str(p) for p in paths]
+        self.capacity = int(capacity)
+        self.with_intensity = with_intensity
+        self.errors = 0
+        self._i = 0
+        self._handle = None
+        self._lib = _get()
+        if self._lib is not None and self.paths:
+            arr = (ctypes.c_char_p * len(self.paths))(
+                *[p.encode() for p in self.paths]
+            )
+            self._paths_keepalive = arr
+            self._handle = self._lib.fastdem_stream_open(
+                arr, len(self.paths), self.capacity, threads, ring
+            )
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._i >= len(self.paths):
+            raise StopIteration
+        self._i += 1
+        cap = self.capacity
+        if self._handle:
+            xyz = np.empty((cap, 3), np.float32)
+            mask = np.empty(cap, np.uint8)
+            inten = np.empty(cap, np.float32) if self.with_intensity else None
+            n = self._lib.fastdem_stream_next(
+                self._handle,
+                xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                inten.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                if inten is not None
+                else ctypes.POINTER(ctypes.c_float)(),
+            )
+            if n == -1:
+                raise StopIteration
+            if n == -2:
+                self.errors += 1
+                log.warning(
+                    "[ScanStream] failed to parse '%s'; empty frame",
+                    self.paths[self._i - 1],
+                )
+            return xyz, mask.astype(bool), inten
+        # Pure-Python fallback: same padding semantics, no prefetch.
+        path = self.paths[self._i - 1]
+        xyz = np.full((cap, 3), 1e9, np.float32)
+        mask = np.zeros(cap, bool)
+        inten = np.zeros(cap, np.float32) if self.with_intensity else None
+        try:
+            from fastdem_tpu.io import pcd as pcd_io
+
+            cloud = (
+                pcd_io.load_kitti_bin(path)
+                if path.endswith(".bin")
+                else pcd_io.load_pcd(path)
+            )
+            pts = np.asarray(cloud.xyz)[np.asarray(cloud.mask)]
+            n = min(len(pts), cap)
+            xyz[:n] = pts[:n]
+            mask[:n] = True
+            if inten is not None and cloud.has("intensity"):
+                ch = np.asarray(cloud.channels["intensity"])[
+                    np.asarray(cloud.mask)
+                ]
+                inten[:n] = ch[:n]
+        except (OSError, ValueError) as e:
+            self.errors += 1
+            log.warning("[ScanStream] failed to parse '%s': %s", path, e)
+        return xyz, mask, inten
+
+    def close(self):
+        if self._handle and self._lib is not None:
+            self._lib.fastdem_stream_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

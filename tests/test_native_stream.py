@@ -1,0 +1,143 @@
+"""Native prefetching scan stream (fastdem_tpu/native/src/scanstream.cpp).
+
+The data-loader half of offline replay: a worker pool parses scan files
+ahead of the consumer, in file order, pre-padded to a fixed capacity.
+Covers native/pure-Python interface equivalence, ordering under
+multithreaded parsing, padding/truncation, parse-failure frames, and the
+fastdem_replay --prefetch CLI path.
+"""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fastdem_tpu import native
+from fastdem_tpu.cloud.pointcloud import from_numpy
+from fastdem_tpu.io import pcd as pcd_io
+
+
+def _write_scans(tmp_path, n_files, n_pts, rng, fmt="pcd"):
+    paths = []
+    truths = []
+    for i in range(n_files):
+        xyz = rng.uniform(-5, 5, (n_pts + i, 3)).astype(np.float32)
+        inten = rng.uniform(0, 100, (n_pts + i,)).astype(np.float32)
+        p = tmp_path / f"{i:06d}.{fmt}"
+        if fmt == "pcd":
+            assert pcd_io.save_pcd(str(p), from_numpy(xyz, intensity=inten))
+        else:
+            assert pcd_io.save_kitti_bin(
+                str(p), from_numpy(xyz, intensity=inten)
+            )
+        paths.append(str(p))
+        truths.append((xyz, inten))
+    return paths, truths
+
+
+@pytest.mark.parametrize("fmt", ["pcd", "bin"])
+def test_stream_matches_direct_loads(tmp_path, rng, fmt):
+    paths, truths = _write_scans(tmp_path, 6, 500, rng, fmt)
+    cap = 1024
+    with native.ScanStream(
+        paths, cap, threads=3, ring=4, with_intensity=True
+    ) as s:
+        out = list(s)
+    assert len(out) == 6
+    for (xyz, mask, inten), (txyz, tinten) in zip(out, truths):
+        n = len(txyz)
+        assert xyz.shape == (cap, 3) and mask.shape == (cap,)
+        assert mask[:n].all() and not mask[n:].any()
+        np.testing.assert_array_equal(xyz[:n], txyz)
+        np.testing.assert_array_equal(xyz[n:], 1e9)
+        np.testing.assert_allclose(inten[:n], tinten, rtol=1e-6)
+
+
+def test_stream_truncates_to_capacity(tmp_path, rng):
+    paths, truths = _write_scans(tmp_path, 1, 300, rng)
+    with native.ScanStream(paths, 100, threads=1) as s:
+        xyz, mask, _ = next(s)
+    assert mask.sum() == 100
+    np.testing.assert_array_equal(xyz[:100], truths[0][0][:100])
+
+
+def test_stream_parse_failure_yields_empty_frame(tmp_path, rng):
+    paths, truths = _write_scans(tmp_path, 2, 200, rng)
+    bad = tmp_path / "000001a.pcd"  # sorts between the two good files
+    bad.write_text("not a pcd header\n")
+    ordered = [paths[0], str(bad), paths[1]]
+    with native.ScanStream(ordered, 512, threads=2) as s:
+        frames = list(s)
+    assert len(frames) == 3
+    assert frames[0][1].sum() == 200
+    assert frames[1][1].sum() == 0  # failed file -> empty frame
+    assert frames[2][1].sum() == 201
+    assert s.errors == 1
+
+
+def test_stream_nonfinite_points_masked(tmp_path):
+    xyz = np.array(
+        [[0.0, 0.0, 1.0], [np.nan, 0.0, 0.0], [1.0, 1.0, 1.0]], np.float32
+    )
+    p = tmp_path / "nan.pcd"
+    # save_pcd may reject NaN via from_numpy's masking; write ascii by hand.
+    p.write_text(
+        "VERSION .7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        "WIDTH 3\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS 3\nDATA ascii\n"
+        "0 0 1\nnan 0 0\n1 1 1\n"
+    )
+    with native.ScanStream([str(p)], 8, threads=1) as s:
+        got, mask, _ = next(s)
+    assert mask.sum() == 2
+    assert not mask[1]
+    np.testing.assert_array_equal(got[1], 1e9)
+    np.testing.assert_array_equal(got[0], xyz[0])
+
+
+def test_python_fallback_equivalent(tmp_path, rng, monkeypatch):
+    paths, truths = _write_scans(tmp_path, 3, 128, rng)
+    cap = 256
+    with native.ScanStream(
+        paths, cap, threads=2, with_intensity=True
+    ) as s_native:
+        out_native = list(s_native)
+    monkeypatch.setattr(native, "_get", lambda: None)
+    with native.ScanStream(
+        paths, cap, threads=2, with_intensity=True
+    ) as s_py:
+        out_py = list(s_py)
+    assert s_py._handle is None  # really took the fallback
+    for (xa, ma, ia), (xb, mb, ib) in zip(out_native, out_py):
+        np.testing.assert_array_equal(ma, mb)
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_allclose(ia, ib, rtol=1e-6)
+
+
+def test_replay_cli_prefetch(tmp_path, rng):
+    scans = tmp_path / "scans"
+    scans.mkdir()
+    paths, _ = _write_scans(scans, 5, 400, rng)
+    # KITTI trajectory: one 3x4 pose per scan, shifting +x.
+    lines = []
+    T = np.eye(4)
+    for i in range(5):
+        T[0, 3] = 0.5 * i
+        lines.append(" ".join(f"{v:.6f}" for v in T[:3].reshape(-1)))
+    traj = tmp_path / "poses.txt"
+    traj.write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [
+            sys.executable, "tools/fastdem_replay.py",
+            "--config", "fastdem_tpu/config/presets/local_mapping.yaml",
+            "--scans", str(scans), "--trajectory", str(traj),
+            "--prefetch", "2", "--capacity", "512", "--batch", "2",
+            "--out", str(out), "--platform", "cpu",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "5 scans" in r.stderr
+    assert (out / "map.npz").exists()

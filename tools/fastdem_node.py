@@ -58,19 +58,7 @@ def file_scans(scan_dir, trajectory):
     poses = None
     times = None
     if trajectory:
-        # TUM lines have 8 columns (t x y z qx qy qz qw); KITTI has 12
-        # (3x4 row-major, one pose per scan, no timestamps).
-        with open(trajectory) as f:
-            first = ""
-            for line in f:
-                line = line.strip()
-                if line and not line.startswith("#"):
-                    first = line
-                    break
-        if len(first.split()) == 12:
-            poses = pcd_io.load_trajectory_kitti(trajectory)
-        else:
-            times, poses = pcd_io.load_trajectory_tum(trajectory)
+        times, poses = pcd_io.load_trajectory(trajectory)
     for i, f in enumerate(files):
         cloud = (
             pcd_io.load_kitti_bin(f) if f.endswith(".bin") else pcd_io.load_pcd(f)

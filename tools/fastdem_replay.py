@@ -47,6 +47,13 @@ def main():
                     help="also render elevation/variance PNGs")
     ap.add_argument("--sensor-height", type=float, default=1.0,
                     help="sensor z offset in the base frame (T_base_sensor)")
+    ap.add_argument("--prefetch", type=int, default=0,
+                    help="stream scans through the native prefetching "
+                         "loader with N parser threads (overlaps file "
+                         "parsing with device compute; --scans only)")
+    ap.add_argument("--capacity", type=int, default=32768,
+                    help="point capacity per scan in prefetch mode "
+                         "(larger scans are truncated)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -81,6 +88,13 @@ def main():
         node_cfg.map.width, node_cfg.map.height, node_cfg.map.resolution
     )
     mapper = FastDEM(geom, node_cfg.pipeline)
+    T_bs = np.eye(4, dtype=np.float32)
+    T_bs[2, 3] = args.sensor_height
+
+    if args.prefetch > 0:
+        if not args.scans:
+            raise SystemExit("--prefetch requires --scans DIR")
+        return run_prefetch(args, geom, mapper, T_bs)
 
     if args.synthetic:
         source = synthetic_scans(args.synthetic)
@@ -96,8 +110,6 @@ def main():
     if not clouds:
         raise SystemExit("no scans to replay")
     poses = np.stack(poses).astype(np.float32)
-    T_bs = np.eye(4, dtype=np.float32)
-    T_bs[2, 3] = args.sensor_height
 
     # Warm-up on the first batch (excludes compile from the timing), then
     # replay the full sequence on a fresh map.
@@ -119,6 +131,12 @@ def main():
         file=sys.stderr,
     )
 
+    save_artifacts(args, geom, mapper)
+
+
+def save_artifacts(args, geom, mapper):
+    from fastdem_tpu.io.npz import save_npz
+
     os.makedirs(args.out, exist_ok=True)
     out_npz = os.path.join(args.out, "map.npz")
     save_npz(out_npz, geom, mapper.state, frame_id=mapper.frame_id)
@@ -131,6 +149,98 @@ def main():
                 p = os.path.join(args.out, f"{layer}.png")
                 if save_png(p, mapper.state, layer):
                     print(f"[fastdem_replay] {layer} -> {p}", file=sys.stderr)
+
+
+def run_prefetch(args, geom, mapper, T_bs):
+    """Streaming replay: the native ScanStream parses files with a worker
+    pool while the device integrates the previous chunk — wall time is
+    max(parse, compute) instead of their sum, and memory stays at one
+    chunk of scans regardless of sequence length."""
+    import glob as globmod
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastdem_tpu import native
+    from fastdem_tpu.io.pcd import load_trajectory
+    from fastdem_tpu.mapping.pipeline import build_integrate_sequence
+
+    files = sorted(
+        globmod.glob(os.path.join(args.scans, "*.pcd"))
+        + globmod.glob(os.path.join(args.scans, "*.bin"))
+    )
+    if not files:
+        raise SystemExit(f"no .pcd/.bin scans in {args.scans}")
+    poses = None
+    if args.trajectory:
+        _, poses = load_trajectory(args.trajectory)
+
+    K, cap = args.batch, args.capacity
+    seq = build_integrate_sequence(geom, mapper.cfg, donate=True)
+    state = mapper.state
+    eye = np.eye(4, dtype=np.float32)
+    tbs_j = jnp.asarray(T_bs)
+
+    # Compile outside the timed loop (an all-empty chunk is a no-op).
+    state = seq(
+        state,
+        jnp.full((K, cap, 3), 1e9, jnp.float32),
+        jnp.zeros((K, cap), bool),
+        tbs_j,
+        jnp.broadcast_to(jnp.asarray(eye), (K, 4, 4)),
+    )
+    jax.block_until_ready(state.layers)
+
+    t0 = time.time()
+    n_total = 0
+    with native.ScanStream(
+        files, cap, threads=args.prefetch, ring=max(2 * K, 8)
+    ) as stream:
+        chunk_xyz, chunk_mask, chunk_pose = [], [], []
+
+        def flush():
+            nonlocal state
+            if not chunk_xyz:
+                return
+            pad = K - len(chunk_xyz)
+            xyz = np.stack(chunk_xyz + [chunk_xyz[-1]] * pad)
+            mask = np.stack(
+                chunk_mask + [np.zeros(cap, bool)] * pad
+            )
+            pose = np.stack(chunk_pose + [chunk_pose[-1]] * pad)
+            state = seq(
+                state, jnp.asarray(xyz), jnp.asarray(mask), tbs_j,
+                jnp.asarray(pose),
+            )
+            chunk_xyz.clear(); chunk_mask.clear(); chunk_pose.clear()
+
+        for i, (xyz, mask, _) in enumerate(stream):
+            if not mask.any():
+                continue  # parse failure: warn-and-skip (ScanStream logs)
+            chunk_xyz.append(xyz)
+            chunk_mask.append(mask)
+            chunk_pose.append(
+                poses[min(i, len(poses) - 1)].astype(np.float32)
+                if poses is not None
+                else eye
+            )
+            n_total += 1
+            if len(chunk_xyz) == K:
+                flush()
+        flush()
+        errors = stream.errors
+    jax.block_until_ready(state.layers)
+    mapper.state = state
+    dt = time.time() - t0
+    print(
+        f"[fastdem_replay] {n_total} scans in {dt*1e3:.1f} ms "
+        f"({n_total/max(dt,1e-9):.0f} scans/s incl. file IO, "
+        f"{dt/max(n_total,1)*1e3:.3f} ms/scan, batch={K}, "
+        f"prefetch={args.prefetch} threads, native={native.available()}, "
+        f"{errors} parse failures)",
+        file=sys.stderr,
+    )
+    save_artifacts(args, geom, mapper)
 
 
 if __name__ == "__main__":
