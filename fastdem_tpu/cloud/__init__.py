@@ -5,6 +5,8 @@ from fastdem_tpu.cloud.pointcloud import (  # noqa: F401
     PointCloud,
     bucket_capacity,
     compact,
+    erase,
+    extract,
     from_numpy,
     merge,
     pad_to,

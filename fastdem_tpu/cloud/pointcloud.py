@@ -174,6 +174,28 @@ def pad_to(cloud: PointCloud, capacity: int) -> PointCloud:
     return dataclasses.replace(cloud, xyz=xyz, mask=mask, channels=ch)
 
 
+def extract(cloud: PointCloud, indices) -> PointCloud:
+    """Host-side: new cloud with only the given point indices, all channels
+    carried (nanoPCL PointCloud::extract, core/point_cloud.hpp:14-184).
+    Indices referring to masked-out points are dropped."""
+    idx = np.asarray(indices, dtype=np.int64).reshape(-1)
+    keep = idx[np.asarray(cloud.mask)[idx]]
+    xyz = np.asarray(cloud.xyz)[keep]
+    ch = {k: np.asarray(v)[keep] for k, v in cloud.channels.items()}
+    return from_numpy(
+        xyz, frame_id=cloud.frame_id, timestamp_ns=cloud.timestamp_ns, **ch
+    )
+
+
+def erase(cloud: PointCloud, indices) -> PointCloud:
+    """Host-side: new cloud without the given point indices (nanoPCL
+    PointCloud::erase); remaining masked-out points are also dropped."""
+    drop = np.zeros(cloud.capacity, dtype=bool)
+    drop[np.asarray(indices, dtype=np.int64).reshape(-1)] = True
+    keep = np.flatnonzero(np.asarray(cloud.mask) & ~drop)
+    return extract(cloud, keep)
+
+
 def bucket_capacity(n: int, granularity: int = 4096) -> int:
     """Round up to a bucket size to bound the number of jit specializations
     for variable-size scans (SURVEY.md section 7 'hard parts')."""

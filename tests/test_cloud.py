@@ -50,6 +50,23 @@ class TestPointCloud:
         assert m.count() == 5
         assert m.channels["intensity"].shape == (5,)
 
+    def test_extract_erase(self):
+        """nanoPCL PointCloud::extract / erase (core/point_cloud.hpp)."""
+        xyz = np.arange(15, dtype=np.float32).reshape(5, 3)
+        cloud = pc.from_numpy(xyz, intensity=np.arange(5, dtype=np.float32))
+        ex = pc.extract(cloud, [0, 3])
+        assert ex.count() == ex.capacity == 2
+        np.testing.assert_array_equal(np.asarray(ex.xyz), xyz[[0, 3]])
+        np.testing.assert_array_equal(
+            np.asarray(ex.channels["intensity"]), [0.0, 3.0]
+        )
+        er = pc.erase(cloud, [1, 2])
+        assert er.count() == 3
+        np.testing.assert_array_equal(np.asarray(er.xyz), xyz[[0, 3, 4]])
+        # Masked-out points never survive extraction.
+        crop = cloud.with_mask(cloud.mask & (jnp.arange(5) != 3))
+        assert pc.extract(crop, [0, 3]).count() == 1
+
 
 class TestTransform:
     def test_translation(self):

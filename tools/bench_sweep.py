@@ -14,7 +14,7 @@ from fastdem_tpu import Config, GridGeometry
 from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
 
 
-def make_inputs(K=8, N=30000, rmax=7.2):
+def make_inputs(K=64, N=30000, rmax=7.2):
     rng = np.random.default_rng(0)
     ang = rng.uniform(0, 2 * np.pi, (K, N))
     rad = rng.uniform(0.5, rmax, (K, N))
@@ -26,12 +26,15 @@ def make_inputs(K=8, N=30000, rmax=7.2):
     return scans, masks, tx
 
 
-def run_variant(name, N=30000, **kw):
-    geom = GridGeometry.from_length(15.0, 15.0, 0.1)
+def run_variant(name, N=30000, geom_m=15.0, res=0.1, K=64, rmax=7.2,
+                cfg_mut=None, **kw):
+    geom = GridGeometry.from_length(geom_m, geom_m, res)
     cfg = Config()
     cfg.raycasting.enabled = kw.pop("raycast", True)
+    if cfg_mut:
+        cfg_mut(cfg)
     step = build_integrate(geom, cfg, jit=False, **kw)
-    scans, masks, tx = make_inputs(N=N)
+    scans, masks, tx = make_inputs(K=K, N=N, rmax=rmax)
     T_bs = jnp.eye(4).at[2, 3].set(1.0)
 
     def body(state, inp):
@@ -62,12 +65,24 @@ def run_variant(name, N=30000, **kw):
 
 def main():
     print("device:", jax.devices()[0], flush=True)
-    run_variant("no-raycast twophase", raycast=False, scatter_mode="twophase")
+    from fastdem_tpu.config.config import EstimationType, MappingMode
+
+    def mut_p2(cfg):
+        cfg.mapping.estimation_type = EstimationType.P2_QUANTILE
+
+    def mut_global(cfg):
+        cfg.mapping.mode = MappingMode.GLOBAL
+        cfg.point_filter.range_max = 20.0
+
     run_variant("no-raycast packed", raycast=False, scatter_mode="packed")
-    run_variant("raycast twophase", scatter_mode="twophase")
     run_variant("raycast packed", scatter_mode="packed")
-    run_variant("300K twophase", N=300000, raycast=False, scatter_mode="twophase")
+    run_variant("raycast twophase", scatter_mode="twophase")
+    run_variant("p2 raycast packed", cfg_mut=mut_p2, scatter_mode="packed")
     run_variant("300K packed", N=300000, raycast=False, scatter_mode="packed")
+    run_variant("global200m no-raycast", geom_m=200.0, raycast=False,
+                cfg_mut=mut_global, K=16, rmax=19.0)
+    run_variant("global200m raycast r20", geom_m=200.0, cfg_mut=mut_global,
+                K=16, rmax=19.0)
 
 
 if __name__ == "__main__":
