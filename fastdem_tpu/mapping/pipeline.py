@@ -451,6 +451,7 @@ def _build_phases(
                 num_azimuth=ray_num_azimuth,
                 range_bin_factor=ray_range_bin_factor,
                 ray_min_touched=ray,
+                frame_nonempty=frame_nonempty,
             )
         return state
 

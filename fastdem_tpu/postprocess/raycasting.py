@@ -401,6 +401,7 @@ def apply_raycasting(
     max_range: Optional[float] = None,
     polar_table: Optional[jnp.ndarray] = None,
     ray_min_touched: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    frame_nonempty=True,
 ) -> GridMapState:
     """Apply one scan's visibility update.
 
@@ -458,7 +459,15 @@ def apply_raycasting(
             geom, state.position, xyz, active, sensor_origin,
             num_samples=num_samples,
         )
-    ray_layer = jnp.where(ray_touched, ray_min, jnp.nan)
+    # Per-scan overwrite of the diagnostic layer; an all-masked frame
+    # keeps the previous one (the reference never integrates empty scans —
+    # this makes batch-replay padding frames full no-ops, like the
+    # obstacle layer's gate in pipeline._update_obstacle).
+    ray_layer = jnp.where(
+        frame_nonempty,
+        jnp.where(ray_touched, ray_min, jnp.nan),
+        state.layers[layers.raycasting],
+    )
     ray_min_cmp = jnp.where(ray_touched, ray_min, _INF)
 
     # ---- 3. Resolve ghost cells (:188-214) ----

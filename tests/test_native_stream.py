@@ -7,6 +7,7 @@ multithreaded parsing, padding/truncation, parse-failure frames, and the
 fastdem_replay --prefetch CLI path.
 """
 
+import os
 import subprocess
 import sys
 
@@ -112,6 +113,61 @@ def test_python_fallback_equivalent(tmp_path, rng, monkeypatch):
         np.testing.assert_array_equal(ma, mb)
         np.testing.assert_array_equal(xa, xb)
         np.testing.assert_allclose(ia, ib, rtol=1e-6)
+
+
+def test_replay_cli_resume_matches_single_run(tmp_path, rng):
+    """Mapping 6 scans in one run == mapping 3, checkpointing to npz, and
+    resuming the remaining 3 (--resume): the npz checkpoint carries the
+    full estimator state losslessly (SURVEY 5.4)."""
+    scans = tmp_path / "scans"
+    scans.mkdir()
+    paths, _ = _write_scans(scans, 6, 300, rng)
+    T = np.eye(4)
+    lines = []
+    for i in range(6):
+        T[0, 3] = 0.3 * i
+        lines.append(" ".join(f"{v:.6f}" for v in T[:3].reshape(-1)))
+    (tmp_path / "poses_all.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "poses_a.txt").write_text("\n".join(lines[:3]) + "\n")
+    (tmp_path / "poses_b.txt").write_text("\n".join(lines[3:]) + "\n")
+    half_b = tmp_path / "scans_b"
+    half_b.mkdir()
+    for p in paths[3:]:
+        (half_b / os.path.basename(p)).write_bytes(open(p, "rb").read())
+    half_a = tmp_path / "scans_a"
+    half_a.mkdir()
+    for p in paths[:3]:
+        (half_a / os.path.basename(p)).write_bytes(open(p, "rb").read())
+
+    def run(scan_dir, traj, out, resume=None):
+        cmd = [
+            sys.executable, "tools/fastdem_replay.py",
+            "--config", "fastdem_tpu/config/presets/local_mapping.yaml",
+            "--scans", str(scan_dir), "--trajectory", str(traj),
+            "--capacity", "512", "--batch", "2",
+            "--out", str(out), "--platform", "cpu",
+        ]
+        if resume:
+            cmd += ["--resume", str(resume)]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr
+
+    run(half_a, tmp_path / "poses_a.txt", tmp_path / "out_a")
+    run(half_b, tmp_path / "poses_b.txt", tmp_path / "out_b",
+        resume=tmp_path / "out_a" / "map.npz")
+    run(scans, tmp_path / "poses_all.txt", tmp_path / "out_full")
+
+    from fastdem_tpu.io.npz import load_npz
+
+    _, s_resumed, _ = load_npz(str(tmp_path / "out_b" / "map.npz"))
+    _, s_full, _ = load_npz(str(tmp_path / "out_full" / "map.npz"))
+    assert set(s_resumed.layers) == set(s_full.layers)
+    for name in s_full.layers:
+        np.testing.assert_array_equal(
+            np.asarray(s_resumed.layers[name]),
+            np.asarray(s_full.layers[name]),
+            err_msg=name,
+        )
 
 
 def test_replay_cli_prefetch(tmp_path, rng):

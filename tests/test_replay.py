@@ -127,10 +127,14 @@ def test_sequence_per_scan_extrinsic(geom, rng):
     _assert_states_equal(s_seq, s_loop)
 
 
-def test_padding_frames_are_noop(geom, rng):
+@pytest.mark.parametrize("raycast", [False, True])
+def test_padding_frames_are_noop(geom, rng, raycast):
     """Empty-mask frames replicating the last pose must not change the map,
-    including in LOCAL mode (move() to the same position is a no-op)."""
+    including in LOCAL mode (move() to the same position is a no-op) and
+    including the per-frame-overwritten layers (obstacle, raycasting —
+    regression: a padding frame used to wipe the ray diagnostic layer)."""
     cfg = Config()
+    cfg.raycasting.enabled = raycast
     cfg.mapping.mode = MappingMode.LOCAL
     K, N = 3, 2048
     xyz, poses = _scans(K, N, rng)

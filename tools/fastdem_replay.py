@@ -47,6 +47,9 @@ def main():
                     help="also render elevation/variance PNGs")
     ap.add_argument("--sensor-height", type=float, default=1.0,
                     help="sensor z offset in the base frame (T_base_sensor)")
+    ap.add_argument("--resume", default=None,
+                    help="npz checkpoint to continue mapping from (same "
+                         "geometry; estimator state round-trips losslessly)")
     ap.add_argument("--prefetch", type=int, default=0,
                     help="stream scans through the native prefetching "
                          "loader with N parser threads (overlaps file "
@@ -88,6 +91,33 @@ def main():
         node_cfg.map.width, node_cfg.map.height, node_cfg.map.resolution
     )
     mapper = FastDEM(geom, node_cfg.pipeline)
+    if args.resume:
+        import jax.numpy as jnp
+
+        from fastdem_tpu.grid.gridmap import GridMapState
+        from fastdem_tpu.io.npz import load_npz
+        from fastdem_tpu.mapping.pipeline import initial_layer_fills
+
+        g2, st, _meta = load_npz(args.resume)
+        if (g2.rows, g2.cols) != (geom.rows, geom.cols) or abs(
+            g2.resolution - geom.resolution
+        ) > 1e-9:
+            print(
+                f"error: checkpoint geometry {g2.rows}x{g2.cols}@"
+                f"{g2.resolution} != config {geom.rows}x{geom.cols}@"
+                f"{geom.resolution}",
+                file=sys.stderr,
+            )
+            return 2
+        # Exists-guarded layer merge (the reference's ensureLayers): a
+        # checkpoint from a different pipeline config gains the missing
+        # layers at their initial fills.
+        lyr = dict(st.layers)
+        for name, fill in initial_layer_fills(node_cfg.pipeline).items():
+            if name not in lyr:
+                lyr[name] = jnp.full(geom.shape, fill, dtype=jnp.float32)
+        mapper.state = GridMapState(layers=lyr, position=st.position)
+        print(f"[fastdem_replay] resumed from {args.resume}", file=sys.stderr)
     T_bs = np.eye(4, dtype=np.float32)
     T_bs[2, 3] = args.sensor_height
 
@@ -112,13 +142,15 @@ def main():
     poses = np.stack(poses).astype(np.float32)
 
     # Warm-up on the first batch (excludes compile from the timing), then
-    # replay the full sequence on a fresh map.
+    # restore the pre-warm-up map (fresh, or the --resume checkpoint) and
+    # replay the full sequence.
+    state0 = mapper.state
     k0 = min(args.batch, len(clouds))
     mapper.integrate_sequence(clouds[:k0], T_bs, poses[:k0], batch=args.batch)
     import jax
 
     jax.block_until_ready(mapper.state.layers)
-    mapper.reset()
+    mapper.state = state0
 
     t0 = time.time()
     n = mapper.integrate_sequence(clouds, T_bs, poses, batch=args.batch)
