@@ -132,6 +132,9 @@ def main():
                     help="rasterizer formulation (A/B within one session)")
     ap.add_argument("--fused", action="store_true",
                     help="also measure the K-fused offline-replay program")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the headline "
+                         "run into DIR (view with tensorboard/xprof)")
     args = ap.parse_args()
 
     import jax
@@ -157,10 +160,21 @@ def main():
     def mut_headline(cfg):
         cfg.raycasting.enabled = not args.no_raycast
 
-    ms, comp = bench_pipeline(
-        args.scans, args.points, mut_headline,
-        scatter_mode=args.scatter_mode,
-    )
+    if args.trace:
+        # Warm (compile) once, then trace a single timed run.
+        bench_pipeline(args.scans, args.points, mut_headline,
+                       scatter_mode=args.scatter_mode)
+        with jax.profiler.trace(args.trace):
+            ms, comp = bench_pipeline(
+                args.scans, args.points, mut_headline,
+                scatter_mode=args.scatter_mode,
+            )
+        print(f"trace -> {args.trace}", file=sys.stderr)
+    else:
+        ms, comp = bench_pipeline(
+            args.scans, args.points, mut_headline,
+            scatter_mode=args.scatter_mode,
+        )
     log("local kalman lidar + raycast", ms, comp)
 
     if args.fused or args.all:
