@@ -142,3 +142,54 @@ def build_sharded_integrate(
         return jitted(*args)
 
     return step, lambda s: shard_state(s, mesh)
+
+
+def build_sharded_integrate_sequence(
+    geom,
+    cfg,
+    mesh: Mesh,
+    has_intensity: bool = False,
+    has_color: bool = False,
+    donate: bool = True,
+    **seq_kwargs,
+):
+    """Batched replay over a block-sharded map: lax.scan over K replicated
+    scans with the carried layers sharded over the mesh — pod-scale offline
+    mapping of large global areas (each device keeps only its map blocks in
+    HBM; the per-scan scatter partitions like the single-step path).
+    Returns (seq_fn, shard_fn) with seq_fn matching
+    mapping.pipeline.build_integrate_sequence's signature.
+    """
+    from fastdem_tpu.mapping.pipeline import (
+        build_integrate_sequence,
+        create_map_state,
+    )
+
+    raw = build_integrate_sequence(
+        geom, cfg, has_intensity, has_color, jit=False, **seq_kwargs
+    )
+    proto = create_map_state(geom, cfg, (0.0, 0.0), has_intensity, has_color)
+    st_sh = state_shardings(mesh, proto)
+    rep = replicated(mesh)
+    n_chan = int(has_intensity) + int(has_color)
+
+    def fixed(state, xyz, mask, T_bs, T_wb, *chans):
+        intensity = chans[0] if has_intensity else None
+        color = chans[-1] if has_color else None
+        return raw(state, xyz, mask, T_bs, T_wb, intensity, color)
+
+    jitted = jax.jit(
+        fixed,
+        in_shardings=(st_sh,) + (rep,) * (4 + n_chan),
+        donate_argnums=(0,) if donate else (),
+    )
+
+    def seq(state, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None):
+        args = [state, xyz, mask, T_bs, T_wb]
+        if has_intensity:
+            args.append(intensity)
+        if has_color:
+            args.append(color_packed)
+        return jitted(*args)
+
+    return seq, lambda s: shard_state(s, mesh)

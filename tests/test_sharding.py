@@ -151,6 +151,70 @@ class TestShardedIntegrate:
         assert sharding.is_fully_replicated is False
 
 
+class TestShardedSequence:
+    def test_sharded_replay_matches_single_device(self):
+        """Batched replay (lax.scan over K scans) over a block-sharded
+        global map == the single-device sequence, decision layers exact."""
+        from fastdem_tpu.mapping.pipeline import build_integrate_sequence
+
+        geom = GridGeometry.from_length(40.0, 40.0, 0.2)
+        cfg = Config()
+        cfg.mapping.mode = MappingMode.GLOBAL
+        cfg.raycasting.enabled = True
+        cfg.point_filter.range_max = 20.0
+        rng = np.random.default_rng(5)
+        K, n = 4, 4096
+        ang = rng.uniform(0, 2 * np.pi, (K, n))
+        rad = rng.uniform(0.5, 18.0, (K, n))
+        xyz = jnp.asarray(
+            np.stack(
+                [rad * np.cos(ang), rad * np.sin(ang), 0.2 * np.sin(rad) - 1.0],
+                -1,
+            ).astype(np.float32)
+        )
+        mask = jnp.ones((K, n), bool)
+        poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        poses[:, 0, 3] = 0.5 * np.arange(K)
+        T_bs = I4.at[2, 3].set(1.0)
+
+        seq1 = build_integrate_sequence(geom, cfg, donate=False)
+        s1 = seq1(
+            create_map_state(geom, cfg), xyz, mask, T_bs, jnp.asarray(poses)
+        )
+
+        mesh = sh.make_mesh(8)
+        seqN, shard = sh.build_sharded_integrate_sequence(
+            geom, cfg, mesh, donate=False
+        )
+        sN = seqN(
+            shard(create_map_state(geom, cfg)), xyz, mask, T_bs,
+            jnp.asarray(poses),
+        )
+        assert sN.layers[layers.elevation].sharding.is_fully_replicated is False
+        for name in s1.layers:
+            a = np.asarray(s1.layers[name])
+            b = np.asarray(sN.layers[name])
+            if name in (layers.raycasting, layers.visibility_logodds):
+                # Discrete-bin layers: XLA contracts FMAs differently in
+                # the sharded compilation, so a 1-ULP geometry difference
+                # can flip a polar/z bin — tolerate isolated flips bounded
+                # by one evidence quantum (observed: 5 cells of 10.9K).
+                assert (np.isnan(a) != np.isnan(b)).sum() <= a.size // 1000
+                both = np.isfinite(a) & np.isfinite(b)
+                bad = np.abs(a[both] - b[both]) > 1e-6
+                assert bad.sum() <= max(8, a.size // 1000), name
+                if both.any():
+                    assert np.abs(a[both] - b[both]).max() <= 0.21, name
+                continue
+            np.testing.assert_array_equal(
+                np.isnan(a), np.isnan(b), err_msg=name
+            )
+            both = np.isfinite(a) & np.isfinite(b)
+            np.testing.assert_allclose(
+                a[both], b[both], rtol=1e-5, atol=1e-6, err_msg=name
+            )
+
+
 class TestShardedPostprocess:
     def test_stencil_parity_with_single_device(self):
         """The snapshot postprocess chain (UF + inpaint + features) is all
