@@ -51,6 +51,9 @@ class MappingDriver:
         global_rate: float = 0.0,
         global_window: tuple = (15.0, 15.0),
         artifact_dir: Optional[str] = None,
+        async_intake: bool = False,
+        burst_batch: int = 8,
+        max_queue: int = 64,
         **mapper_kwargs,
     ):
         import jax
@@ -82,19 +85,142 @@ class MappingDriver:
         # re-jitting per service call would recompile every time.
         self._pp_cache: Dict[tuple, Callable] = {}
 
+        # Async intake: scans enqueue and a worker drains them, integrating
+        # backlogs as one batched device program (integrate_sequence). Under
+        # overload the OLDEST scans drop, like the reference node's
+        # SensorDataQoS keep-last subscription (fastdem_ros_node.cpp:100).
+        self.async_intake = async_intake
+        self.burst_batch = max(1, burst_batch)
+        self.max_queue = max(1, max_queue)
+        self.dropped_scans = 0
+        self._queue: list = []
+        self._inflight = 0
+        self._qcond = threading.Condition()
+        self._intake_thread: Optional[threading.Thread] = None
+        if async_intake:
+            self._intake_thread = threading.Thread(
+                target=self._intake_loop, daemon=True
+            )
+            self._intake_thread.start()
+
         self._banner()
 
     # -- intake ------------------------------------------------------------
     def on_scan(self, cloud, T_base_sensor=None, T_world_base=None) -> bool:
-        """Scan callback: integrate (explicit transforms or providers)."""
+        """Scan callback.
+
+        Synchronous mode (default): integrate inline and report the result,
+        like the reference's scanCallback. With ``async_intake`` the scan is
+        enqueued (True = accepted) and a worker integrates it — backlogs
+        collapse into batched device programs; the oldest queued scans drop
+        under overload (``dropped_scans`` counts them).
+        """
+        if self.async_intake:
+            with self._qcond:
+                if self._stop.is_set():
+                    return False
+                self._queue.append((cloud, T_base_sensor, T_world_base))
+                while len(self._queue) > self.max_queue:
+                    self._queue.pop(0)
+                    self.dropped_scans += 1
+                self._qcond.notify()
+            return True
+        return self._integrate_one(cloud, T_base_sensor, T_world_base)
+
+    def _integrate_one(self, cloud, T_bs, T_wb) -> bool:
         with self._lock:
-            ok = self.mapper.integrate(cloud, T_base_sensor, T_world_base)
+            ok = self.mapper.integrate(cloud, T_bs, T_wb)
             if ok:
                 self._scan_count += 1
                 if not self._started:
                     self._started = True
                     self._start_timers()
         return ok
+
+    def _intake_loop(self):
+        while True:
+            with self._qcond:
+                while not self._queue and not self._stop.is_set():
+                    self._qcond.wait(0.1)
+                if self._stop.is_set() and not self._queue:
+                    return
+                items = self._queue[: self.burst_batch]
+                del self._queue[: len(items)]
+                self._inflight = len(items)
+            try:
+                if len(items) == 1:
+                    self._integrate_one(*items[0])
+                else:
+                    self._integrate_burst(items)
+            except Exception:  # noqa: BLE001 - intake must not die
+                log.exception("driver intake error")
+            finally:
+                with self._qcond:
+                    self._inflight = 0
+                    self._qcond.notify_all()
+
+    def _integrate_burst(self, items):
+        """Integrate a backlog as batched device programs: runs of scans
+        with the same transform mode (explicit vs provider) go through
+        integrate_sequence; mode switches split the run."""
+        runs = []
+        for cloud, tbs, twb in items:
+            # Same rule as FastDEM.integrate: explicit mode needs BOTH
+            # transforms, otherwise the providers are queried.
+            explicit = tbs is not None and twb is not None
+            if not runs or runs[-1][0] != explicit:
+                runs.append((explicit, []))
+            runs[-1][1].append((cloud, tbs, twb))
+        for explicit, run in runs:
+            with self._lock:
+                if len(run) == 1:
+                    c, tbs, twb = run[0]
+                    ok = self.mapper.integrate(c, tbs, twb)
+                    n = int(ok)
+                elif explicit:
+                    clouds = [c for c, _, _ in run]
+                    tbs0 = run[0][1]
+                    same_tbs = all(
+                        t is tbs0
+                        or np.array_equal(np.asarray(t), np.asarray(tbs0))
+                        for _, t, _ in run
+                    )
+                    tbs = (
+                        tbs0
+                        if same_tbs
+                        else np.stack(
+                            [np.asarray(t, np.float32) for _, t, _ in run]
+                        )
+                    )
+                    twb = np.stack(
+                        [np.asarray(t, np.float32) for _, _, t in run]
+                    )
+                    n = self.mapper.integrate_sequence(
+                        clouds, tbs, twb, batch=self.burst_batch
+                    )
+                else:
+                    n = self.mapper.integrate_sequence(
+                        [c for c, _, _ in run], batch=self.burst_batch
+                    )
+                if n:
+                    self._scan_count += n
+                    if not self._started:
+                        self._started = True
+                        self._start_timers()
+
+    def drain(self, timeout: float = 30.0) -> bool:
+        """Block until the async intake queue is empty and no burst is in
+        flight (tests/shutdown)."""
+        import time as _time
+
+        deadline = _time.time() + timeout
+        with self._qcond:
+            while self._queue or self._inflight:
+                remaining = deadline - _time.time()
+                if remaining <= 0:
+                    return False
+                self._qcond.wait(min(remaining, 0.1))
+        return True
 
     # -- timers ------------------------------------------------------------
     def _start_timers(self):
@@ -119,7 +245,13 @@ class MappingDriver:
                 log.exception("driver timer error")
 
     def close(self):
+        if self.async_intake:
+            self.drain(timeout=10.0)
         self._stop.set()
+        with self._qcond:
+            self._qcond.notify_all()
+        if self._intake_thread is not None:
+            self._intake_thread.join(timeout=5.0)
         for t in self._timers:
             t.join(timeout=2.0)
 

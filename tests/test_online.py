@@ -165,6 +165,57 @@ class TestDriver:
             sub = d.submap((0.0, 0.0), (2.0, 2.0))
             assert sub["elevation"].shape == (20, 20)
 
+    def test_async_intake_matches_sync(self):
+        """Async intake (queue + burst worker) must produce the same map as
+        the synchronous path for the same scan stream (no drops)."""
+        rng = np.random.default_rng(1)
+        scans = []
+        for k in range(7):
+            n = 600
+            pts = np.column_stack(
+                [rng.uniform(-3, 3, n), rng.uniform(-3, 3, n),
+                 0.05 * rng.standard_normal(n)]
+            ).astype(np.float32)
+            scans.append(
+                pc.from_numpy(pts, frame_id="lidar",
+                              timestamp_ns=(k + 1) * 10**9)
+            )
+
+        with self.make_driver() as d_sync:
+            for s in scans:
+                assert d_sync.on_scan(s)
+            ref = {
+                k: np.asarray(v) for k, v in d_sync.mapper.state.layers.items()
+            }
+
+        with self.make_driver(
+            async_intake=True, burst_batch=3, max_queue=64
+        ) as d:
+            for s in scans:
+                assert d.on_scan(s)
+            assert d.drain(timeout=120.0)
+            assert d.dropped_scans == 0
+            assert d._scan_count == 7
+            for name, a in ref.items():
+                b = np.asarray(d.mapper.state.layers[name])
+                np.testing.assert_array_equal(
+                    np.isnan(a), np.isnan(b), err_msg=name
+                )
+                both = np.isfinite(a) & np.isfinite(b)
+                np.testing.assert_array_equal(a[both], b[both], err_msg=name)
+
+    def test_async_intake_explicit_transforms_and_drops(self):
+        with self.make_driver(
+            async_intake=True, burst_batch=2, max_queue=3
+        ) as d:
+            T = np.eye(4, dtype=np.float32)
+            for k in range(12):
+                assert d.on_scan(cloud(t=(k + 1) * 10**9), T, T)
+            assert d.drain(timeout=120.0)
+            # Oldest scans beyond the queue bound drop; the rest integrate.
+            assert d._scan_count + d.dropped_scans == 12
+            assert d._scan_count >= 3
+
     def test_timers_fire(self):
         import time
 

@@ -83,6 +83,11 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--rate", type=float, default=0.0,
                     help="throttle scan intake to N Hz (0 = as fast as possible)")
+    ap.add_argument("--async-intake", action="store_true",
+                    help="enqueue scans and integrate backlogs as batched "
+                         "device programs (oldest scans drop under overload)")
+    ap.add_argument("--burst", type=int, default=8,
+                    help="max scans per batched program with --async-intake")
     args = ap.parse_args()
 
     if args.platform:
@@ -119,7 +124,8 @@ def main():
     )
 
     driver = cfg.make_driver(
-        calibration=calib, odometry=odom, artifact_dir=args.out
+        calibration=calib, odometry=odom, artifact_dir=args.out,
+        async_intake=args.async_intake, burst_batch=args.burst,
     )
 
     if args.synthetic:
@@ -139,15 +145,21 @@ def main():
                 n_ok += 1
             if args.rate > 0:
                 time.sleep(1.0 / args.rate)
+        if args.async_intake:
+            driver.drain()
+            n_ok = driver._scan_count
         # Final snapshot + postprocess (the run_postprocess trigger).
         result = driver.run_postprocess()
         state = driver.mapper.state
 
     dt = time.time() - t_start
     elev = np.asarray(state.layers[layers.elevation])
+    drop = (
+        f", {driver.dropped_scans} dropped" if args.async_intake else ""
+    )
     print(
         f"integrated {n_ok} scans in {dt:.1f}s "
-        f"({n_ok/dt:.1f} scans/s wall incl. host IO); "
+        f"({n_ok/dt:.1f} scans/s wall incl. host IO{drop}); "
         f"{np.isfinite(elev).sum()}/{elev.size} cells measured"
     )
 

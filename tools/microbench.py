@@ -6,6 +6,15 @@ work drains, so per-call wall timing lies. All measurements here chain K
 dependent iterations of the op inside ONE jitted lax.scan (each iteration
 consumes the previous result), then divide total wall time by K. Compile
 time excluded by a warmup call.
+
+TWO KNOWN TRAPS (BENCH_NOTES.md "Dispatch correction"):
+1. Use K >= 64 — the per-call dispatch round trip (~10-40 ms) divided by
+   a small K masquerades as per-op cost (the numbers below at K=32 carry
+   a few tenths of a ms of it).
+2. Irregular-op INDICES must be data-dependent across iterations: a
+   scatter/gather whose indices are loop-invariant measures ~100x faster
+   than the same op in the real pipeline (XLA hoists/specializes).
+   Prefer full-pipeline same-session A/Bs for decisions.
 """
 
 import sys
