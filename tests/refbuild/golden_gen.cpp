@@ -1,0 +1,126 @@
+// Golden-output generator: compiles the REFERENCE FastDEM C++ sources
+// (read in place from /root/reference — never copied) against the
+// nanogrid compatibility layer in this directory, runs the reference
+// pipeline on scan/pose streams produced by the Python test, and writes
+// the resulting map as .npz for numerical comparison against fastdem_tpu
+// (tests/test_reference_goldens.py). This realizes the "goldens vs the
+// real reference" validation SURVEY.md §4 calls out as the missing piece.
+//
+// Input protocol (little-endian, written by the Python side):
+//   scans.bin : int32 K, int32 N, then K*N*3 float32 sensor-frame xyz
+//   poses.bin : 16 float32 row-major T_base_sensor, then K*16 float32
+//               row-major T_world_base
+// argv: scans.bin poses.bin out.npz estimator(kalman|p2) raycast(0|1)
+//       mode(local|global) width height resolution [postprocess(0|1)]
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <iostream>
+#include <string>
+#include <vector>
+
+#include <fastdem/fastdem.hpp>
+#include <fastdem/io/npz.hpp>
+#include <fastdem/postprocess/feature_extraction.hpp>
+#include <fastdem/postprocess/inpainting.hpp>
+#include <fastdem/postprocess/uncertainty_fusion.hpp>
+#include <nanopcl/core/point_cloud.hpp>
+
+namespace {
+
+bool read_all(const std::string& path, std::vector<char>& out) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return false;
+  f.seekg(0, std::ios::end);
+  out.resize(static_cast<std::size_t>(f.tellg()));
+  f.seekg(0);
+  f.read(out.data(), static_cast<std::streamsize>(out.size()));
+  return static_cast<bool>(f);
+}
+
+Eigen::Isometry3d isometry_from(const float* m) {
+  Eigen::Matrix4d T;
+  for (int r = 0; r < 4; ++r)
+    for (int c = 0; c < 4; ++c) T(r, c) = m[r * 4 + c];
+  Eigen::Isometry3d iso = Eigen::Isometry3d::Identity();
+  iso.matrix() = T;
+  return iso;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 10) {
+    std::cerr << "usage: golden_gen scans.bin poses.bin out.npz "
+                 "kalman|p2 raycast mode width height res [postprocess]\n";
+    return 2;
+  }
+  const std::string scans_path = argv[1];
+  const std::string poses_path = argv[2];
+  const std::string out_path = argv[3];
+  const std::string estimator = argv[4];
+  const bool raycast = std::atoi(argv[5]) != 0;
+  const std::string mode = argv[6];
+  const float width = std::atof(argv[7]);
+  const float height = std::atof(argv[8]);
+  const float res = std::atof(argv[9]);
+  const bool postprocess = argc > 10 && std::atoi(argv[10]) != 0;
+
+  std::vector<char> scans_raw, poses_raw;
+  if (!read_all(scans_path, scans_raw) || !read_all(poses_path, poses_raw)) {
+    std::cerr << "cannot read inputs\n";
+    return 2;
+  }
+  std::int32_t K, N;
+  std::memcpy(&K, scans_raw.data(), 4);
+  std::memcpy(&N, scans_raw.data() + 4, 4);
+  const float* xyz = reinterpret_cast<const float*>(scans_raw.data() + 8);
+  const float* tbs = reinterpret_cast<const float*>(poses_raw.data());
+  const float* twb = tbs + 16;
+
+  fastdem::ElevationMap map(width, height, res, "map");
+  fastdem::Config cfg;
+  cfg.mapping.estimation_type = (estimator == "p2")
+                                    ? fastdem::EstimationType::P2Quantile
+                                    : fastdem::EstimationType::Kalman;
+  cfg.mapping.mode = (mode == "global") ? fastdem::MappingMode::GLOBAL
+                                        : fastdem::MappingMode::LOCAL;
+  cfg.raycasting.enabled = raycast;
+  fastdem::FastDEM mapper(map, cfg);
+
+  const Eigen::Isometry3d T_bs = isometry_from(tbs);
+  for (std::int32_t k = 0; k < K; ++k) {
+    nanopcl::PointCloud cloud;
+    cloud.reserve(N);
+    const float* p = xyz + static_cast<std::size_t>(k) * N * 3;
+    for (std::int32_t i = 0; i < N; ++i) {
+      cloud.add(p[i * 3], p[i * 3 + 1], p[i * 3 + 2]);
+    }
+    const Eigen::Isometry3d T_wb = isometry_from(twb + k * 16);
+    if (!mapper.integrate(cloud, T_bs, T_wb)) {
+      std::cerr << "integrate failed at scan " << k << "\n";
+      return 3;
+    }
+  }
+
+  if (postprocess) {
+    fastdem::config::UncertaintyFusion uf;
+    uf.enabled = true;
+    fastdem::applyUncertaintyFusion(map, uf);
+    fastdem::applyInpainting(map, /*max_iterations=*/3,
+                             /*min_valid_neighbors=*/3, /*inplace=*/true);
+    fastdem::applyFeatureExtraction(map, /*analysis_radius=*/0.3f,
+                                    /*min_valid_neighbors=*/4,
+                                    /*step_lower_percentile=*/0.05f,
+                                    /*step_upper_percentile=*/0.95f);
+  }
+
+  if (!fastdem::io::saveNpz(out_path, map)) {
+    std::cerr << "saveNpz failed\n";
+    return 4;
+  }
+  std::printf("golden: %d scans -> %s\n", K, out_path.c_str());
+  return 0;
+}

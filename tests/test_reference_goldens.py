@@ -1,0 +1,225 @@
+"""TRUE golden tests: fastdem_tpu vs the COMPILED C++ reference.
+
+The reference's grid dependency (nanoGrid) is fetched from GitHub at build
+time and unavailable here, so tests/refbuild/ provides an API-compatibility
+layer written from the call-site contract (SURVEY.md 2.3), a spdlog shim,
+and a generator main. This suite compiles the reference sources IN PLACE
+from /root/reference (never copied) against those shims, feeds both
+implementations identical scan/pose streams, and compares every map layer.
+
+Measured agreement (also asserted below):
+  * Kalman + Welford, min/max/obstacle/count layers: float-ULP level
+    (many layers bit-exact; the reference computes transforms in double).
+  * P2 quantile estimator: BIT-EXACT on all marker/count/bound layers.
+  * Postprocess chain (UF + inpaint + features): 1e-6-level (slope in
+    degrees to 3e-3 via acos sensitivity).
+  * Raycasting: the documented polar-vs-DDA deviation envelope
+    (PARITY.md) — ghost_removal decisions exact on this scene.
+
+Skipped when no C++ toolchain or vendored Eigen is available.
+"""
+
+import os
+import struct
+import subprocess
+import shutil
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastdem_tpu import Config, GridGeometry
+from fastdem_tpu.config.config import EstimationType, MappingMode, PostProcessConfig
+from fastdem_tpu.io.npz import load_npz
+from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFBUILD = os.path.join(REPO, "tests", "refbuild")
+REF = "/root/reference/fastdem"
+TF_INC = "/opt/venv/lib/python3.12/site-packages/tensorflow/include"
+
+REF_SOURCES = [
+    "fastdem.cpp", "elevation_mapping.cpp", "sensor_model.cpp",
+    "raycasting.cpp", "inpainting.cpp", "uncertainty_fusion.cpp",
+    "feature_extraction.cpp", "io_npz.cpp",
+]
+
+
+@pytest.fixture(scope="module")
+def golden_gen(tmp_path_factory):
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    if not os.path.isdir(os.path.join(TF_INC, "Eigen")):
+        pytest.skip("no vendored Eigen")
+    if not os.path.isdir(REF):
+        pytest.skip("reference not mounted")
+    out = tmp_path_factory.mktemp("refbuild") / "golden_gen"
+    cmd = [
+        "g++", "-O2", "-std=c++17",
+        "-I", REFBUILD,
+        "-I", os.path.join(REF, "include"),
+        "-I", os.path.join(REF, "lib", "nanoPCL", "include"),
+        "-I", TF_INC,
+        os.path.join(REFBUILD, "golden_gen.cpp"),
+        *[os.path.join(REF, "src", s) for s in REF_SOURCES],
+        "-o", str(out),
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    if r.returncode != 0:
+        pytest.skip(f"reference build failed: {r.stderr[-800:]}")
+    return str(out)
+
+
+def make_stream(seed=7, K=6, N=8000, step_x=0.3):
+    rng = np.random.default_rng(seed)
+    ang = rng.uniform(0, 2 * np.pi, (K, N)).astype(np.float32)
+    rad = rng.uniform(0.5, 6.0, (K, N)).astype(np.float32)
+    x = rad * np.cos(ang)
+    y = rad * np.sin(ang)
+    z = (
+        0.2 * np.sin(0.7 * x) * np.cos(0.5 * y)
+        - 1.0
+        + rng.normal(0, 0.02, (K, N))
+    ).astype(np.float32)
+    xyz = np.stack([x, y, z], -1).astype(np.float32)
+    T_bs = np.eye(4, dtype=np.float32)
+    T_bs[2, 3] = 1.0
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[:, 0, 3] = step_x * np.arange(K)
+    return xyz, T_bs, poses
+
+
+def run_reference(golden_gen, tmp, xyz, T_bs, poses, est, raycast, mode, pp=0):
+    K, N = xyz.shape[:2]
+    with open(tmp / "scans.bin", "wb") as f:
+        f.write(struct.pack("<ii", K, N))
+        f.write(xyz.tobytes())
+    with open(tmp / "poses.bin", "wb") as f:
+        f.write(T_bs.tobytes())
+        f.write(poses.tobytes())
+    out = tmp / "ref.npz"
+    r = subprocess.run(
+        [golden_gen, str(tmp / "scans.bin"), str(tmp / "poses.bin"),
+         str(out), est, str(raycast), mode, "15", "15", "0.1", str(pp)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    _, sref, _ = load_npz(str(out))
+    return sref
+
+
+def run_tpu(xyz, T_bs, poses, est, raycast, mode):
+    cfg = Config()
+    if est == "p2":
+        cfg.mapping.estimation_type = EstimationType.P2_QUANTILE
+    if mode == "global":
+        cfg.mapping.mode = MappingMode.GLOBAL
+    cfg.raycasting.enabled = bool(raycast)
+    geom = GridGeometry.from_length(15.0, 15.0, 0.1)
+    step = build_integrate(geom, cfg, donate=False)
+    state = create_map_state(geom, cfg)
+    K, N = xyz.shape[:2]
+    for k in range(K):
+        state, _ = step(
+            state, jnp.asarray(xyz[k]), jnp.ones(N, bool),
+            jnp.asarray(T_bs), jnp.asarray(poses[k]),
+        )
+    return geom, state
+
+
+def assert_layer(a, b, name, atol, nan_budget=0):
+    nan_mis = int((np.isnan(a) != np.isnan(b)).sum())
+    assert nan_mis <= nan_budget, f"{name}: {nan_mis} nan mismatches"
+    both = np.isfinite(a) & np.isfinite(b)
+    assert both.any(), f"{name}: no overlap"
+    md = float(np.abs(a[both] - b[both]).max())
+    assert md <= atol, f"{name}: maxdiff {md} > {atol}"
+
+
+def test_kalman_local_matches_reference(golden_gen, tmp_path):
+    xyz, T_bs, poses = make_stream()
+    sref = run_reference(golden_gen, tmp_path, xyz, T_bs, poses,
+                         "kalman", 0, "local")
+    _, state = run_tpu(xyz, T_bs, poses, "kalman", 0, "local")
+    exact = ("elevation_min", "elevation_max", "n_points", "obstacle",
+             "_sample_mean")
+    for name in sref.layers:
+        a = np.asarray(sref.layers[name])
+        b = np.asarray(state.layers[name])
+        assert_layer(a, b, name, 0.0 if name in exact else 1e-6)
+
+
+def test_p2_local_bitexact_vs_reference(golden_gen, tmp_path):
+    """The branchless vectorized P2 reproduces the reference's marker
+    algorithm BIT-FOR-BIT on every layer."""
+    xyz, T_bs, poses = make_stream()
+    sref = run_reference(golden_gen, tmp_path, xyz, T_bs, poses,
+                         "p2", 0, "local")
+    _, state = run_tpu(xyz, T_bs, poses, "p2", 0, "local")
+    for name in sref.layers:
+        np.testing.assert_array_equal(
+            np.asarray(sref.layers[name]),
+            np.asarray(state.layers[name]),
+            err_msg=name,
+        )
+
+
+def test_raycast_matches_reference_within_envelope(golden_gen, tmp_path):
+    xyz, T_bs, poses = make_stream()
+    sref = run_reference(golden_gen, tmp_path, xyz, T_bs, poses,
+                         "kalman", 1, "local")
+    _, state = run_tpu(xyz, T_bs, poses, "kalman", 1, "local")
+    ncell = np.asarray(sref.layers["elevation"]).size
+    for name in sref.layers:
+        a = np.asarray(sref.layers[name])
+        b = np.asarray(state.layers[name])
+        if name == "raycasting":
+            # polar reformulation vs DDA: documented deviation envelope
+            nan_mis = int((np.isnan(a) != np.isnan(b)).sum())
+            assert nan_mis <= ncell * 0.02, name
+            both = np.isfinite(a) & np.isfinite(b)
+            p99 = float(np.percentile(np.abs(a[both] - b[both]), 99))
+            assert p99 < 0.15, f"raycasting p99 {p99}"
+        elif name == "_visibility_logodds":
+            both = np.isfinite(a) & np.isfinite(b)
+            diff = np.abs(a[both] - b[both])
+            # quantized evidence: allow a few quanta on a small fraction
+            assert (diff > 1e-5).mean() < 0.25, name
+            assert float(diff.max()) <= 1.0, name
+        elif name == "ghost_removal":
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b),
+                                          err_msg=name)
+        else:
+            assert_layer(a, b, name, 1e-6, nan_budget=int(ncell * 0.005))
+
+
+def test_postprocess_chain_matches_reference(golden_gen, tmp_path):
+    xyz, T_bs, poses = make_stream()
+    sref = run_reference(golden_gen, tmp_path, xyz, T_bs, poses,
+                         "kalman", 0, "global", pp=1)
+    geom, state = run_tpu(xyz, T_bs, poses, "kalman", 0, "global")
+    from fastdem_tpu.postprocess import apply_postprocess_fn
+
+    ppc = PostProcessConfig()
+    ppc.uncertainty_fusion.enabled = True
+    ppc.inpainting.enabled = True
+    ppc.inpainting.max_iterations = 3
+    ppc.inpainting.min_valid_neighbors = 3
+    ppc.feature_extraction.enabled = True
+    ppc.feature_extraction.analysis_radius = 0.3
+    ppc.feature_extraction.min_valid_neighbors = 4
+    fn = apply_postprocess_fn(geom, ppc)
+    out = fn(
+        state.layers["elevation"],
+        state.layers["upper_bound"],
+        state.layers["lower_bound"],
+    )
+    name_map = {"_normal_x": "normal_x", "_normal_y": "normal_y",
+                "_normal_z": "normal_z"}
+    tol = {"slope": 5e-3}  # degrees; acos near |n_z|=1 is ill-conditioned
+    for name in ("elevation", "upper_bound", "lower_bound", "step", "slope",
+                 "roughness", "curvature", "_normal_x", "_normal_y",
+                 "_normal_z"):
+        a = np.asarray(sref.layers[name])
+        b = np.asarray(out[name_map.get(name, name)])
+        assert_layer(a, b, name, tol.get(name, 2e-6))
