@@ -13,8 +13,16 @@
 // argv: scans.bin poses.bin out.npz estimator(kalman|p2) raycast(0|1)
 //       mode(local|global) width height resolution [postprocess(0|1)]
 
+// With FASTDEM_BENCH_REPS=<R> in the environment, the integrate loop is
+// repeated R times on fresh maps and timed (wall, best rep), printing
+// "bench: <ms> ms/scan" — regenerating the reference's performance
+// baseline on the local CPU for a measured-same-data comparison
+// (BASELINE.md: published numbers must be regenerated locally).
+
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <iostream>
@@ -80,7 +88,6 @@ int main(int argc, char** argv) {
   const float* tbs = reinterpret_cast<const float*>(poses_raw.data());
   const float* twb = tbs + 16;
 
-  fastdem::ElevationMap map(width, height, res, "map");
   fastdem::Config cfg;
   cfg.mapping.estimation_type = (estimator == "p2")
                                     ? fastdem::EstimationType::P2Quantile
@@ -88,21 +95,48 @@ int main(int argc, char** argv) {
   cfg.mapping.mode = (mode == "global") ? fastdem::MappingMode::GLOBAL
                                         : fastdem::MappingMode::LOCAL;
   cfg.raycasting.enabled = raycast;
-  fastdem::FastDEM mapper(map, cfg);
 
+  // Pre-build the per-scan clouds once (IO/alloc excluded from timing).
   const Eigen::Isometry3d T_bs = isometry_from(tbs);
+  std::vector<nanopcl::PointCloud> clouds(K);
+  std::vector<Eigen::Isometry3d> T_wbs(K, Eigen::Isometry3d::Identity());
   for (std::int32_t k = 0; k < K; ++k) {
-    nanopcl::PointCloud cloud;
-    cloud.reserve(N);
+    clouds[k].reserve(N);
     const float* p = xyz + static_cast<std::size_t>(k) * N * 3;
     for (std::int32_t i = 0; i < N; ++i) {
-      cloud.add(p[i * 3], p[i * 3 + 1], p[i * 3 + 2]);
+      clouds[k].add(p[i * 3], p[i * 3 + 1], p[i * 3 + 2]);
     }
-    const Eigen::Isometry3d T_wb = isometry_from(twb + k * 16);
-    if (!mapper.integrate(cloud, T_bs, T_wb)) {
-      std::cerr << "integrate failed at scan " << k << "\n";
-      return 3;
+    T_wbs[k] = isometry_from(twb + k * 16);
+  }
+
+  fastdem::ElevationMap map(width, height, res, "map");
+  {
+    fastdem::FastDEM mapper(map, cfg);
+    for (std::int32_t k = 0; k < K; ++k) {
+      if (!mapper.integrate(clouds[k], T_bs, T_wbs[k])) {
+        std::cerr << "integrate failed at scan " << k << "\n";
+        return 3;
+      }
     }
+  }
+
+  if (const char* reps_env = std::getenv("FASTDEM_BENCH_REPS")) {
+    const int reps = std::atoi(reps_env);
+    double best_ms = 1e18;
+    for (int rep = 0; rep < reps; ++rep) {
+      fastdem::ElevationMap bmap(width, height, res, "map");
+      fastdem::FastDEM bmapper(bmap, cfg);
+      const auto t0 = std::chrono::steady_clock::now();
+      for (std::int32_t k = 0; k < K; ++k) {
+        bmapper.integrate(clouds[k], T_bs, T_wbs[k]);
+      }
+      const auto t1 = std::chrono::steady_clock::now();
+      const double ms =
+          std::chrono::duration<double, std::milli>(t1 - t0).count() / K;
+      if (ms < best_ms) best_ms = ms;
+    }
+    std::printf("bench: %.3f ms/scan (best of %d reps, %d scans x %d pts)\n",
+                best_ms, reps, K, N);
   }
 
   if (postprocess) {
