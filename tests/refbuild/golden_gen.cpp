@@ -31,6 +31,7 @@
 
 #include <fastdem/fastdem.hpp>
 #include <fastdem/io/npz.hpp>
+#include <fastdem/io/pcd_convert.hpp>
 #include <fastdem/postprocess/feature_extraction.hpp>
 #include <fastdem/postprocess/inpainting.hpp>
 #include <fastdem/postprocess/uncertainty_fusion.hpp>
@@ -87,6 +88,25 @@ int main(int argc, char** argv) {
   const float* xyz = reinterpret_cast<const float*>(scans_raw.data() + 8);
   const float* tbs = reinterpret_cast<const float*>(poses_raw.data());
   const float* twb = tbs + 16;
+
+  if (estimator == "batch") {
+    // Offline buildDEM path (src/pcd_convert.cpp:275-323): first scan only,
+    // default DEMConfig at the given resolution.
+    nanopcl::PointCloud cloud;
+    cloud.reserve(N);
+    for (std::int32_t i = 0; i < N; ++i) {
+      cloud.add(xyz[i * 3], xyz[i * 3 + 1], xyz[i * 3 + 2]);
+    }
+    fastdem::DEMConfig dcfg;
+    dcfg.resolution = res;
+    auto dem = fastdem::buildDEM(cloud, dcfg);
+    if (!fastdem::io::saveNpz(out_path, dem)) {
+      std::cerr << "saveNpz failed\n";
+      return 4;
+    }
+    std::printf("golden(batch): %d pts -> %s\n", N, out_path.c_str());
+    return 0;
+  }
 
   fastdem::Config cfg;
   cfg.mapping.estimation_type = (estimator == "p2")

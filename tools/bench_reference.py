@@ -27,7 +27,7 @@ TF_INC = "/opt/venv/lib/python3.12/site-packages/tensorflow/include"
 SOURCES = [
     "fastdem.cpp", "elevation_mapping.cpp", "sensor_model.cpp",
     "raycasting.cpp", "inpainting.cpp", "uncertainty_fusion.cpp",
-    "feature_extraction.cpp", "io_npz.cpp",
+    "feature_extraction.cpp", "io_npz.cpp", "pcd_convert.cpp",
 ]
 
 
@@ -37,6 +37,7 @@ def build(out):
         "-I", REFBUILD,
         "-I", os.path.join(REF, "include"),
         "-I", os.path.join(REF, "lib", "nanoPCL", "include"),
+        "-I", os.path.join(REF, "lib", "nanoPCL", "thirdparty"),
         "-I", TF_INC,
         os.path.join(REFBUILD, "golden_gen.cpp"),
         *[os.path.join(REF, "src", s) for s in SOURCES],
