@@ -370,7 +370,8 @@ class TestMultiProcess:
     run the block-sharded global pipeline over one 8-device mesh; the
     assembled map must match a single-process 8-device run."""
 
-    def test_two_process_matches_single(self, tmp_path):
+    @pytest.mark.parametrize("batched", [0, 1])
+    def test_two_process_matches_single(self, tmp_path, batched):
         import os
         import subprocess
         import sys
@@ -385,8 +386,9 @@ class TestMultiProcess:
                     [
                         sys.executable, "tools/multihost_demo.py",
                         "--pid", str(pid), "--nproc", "2",
-                        "--coordinator", "localhost:12411",
+                        "--coordinator", f"localhost:1241{1 + batched}",
                         "--scans", "4", "--points", "4096",
+                        "--batched", str(batched),
                     ]
                     + ["--out", out_multi],
                     cwd="/root/repo", env=env,

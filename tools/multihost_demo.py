@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--resolution", type=float, default=0.2)
     ap.add_argument("--force-cpu", type=int, default=1)
     ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--batched", type=int, default=0,
+                    help="integrate all scans in ONE device program "
+                         "(sharded batched replay) instead of per-scan "
+                         "dispatches")
     args = ap.parse_args()
 
     if args.force_cpu:
@@ -68,25 +72,35 @@ def main():
     cfg.point_filter.range_max = args.map_size / 2
 
     mesh = sh.make_mesh()  # global mesh over all processes' devices
-    step, shard = sh.build_sharded_integrate(geom, cfg, mesh, donate=False)
-    state = shard(create_map_state(geom, cfg))
 
     rng = np.random.default_rng(0)  # identical stream on every process
     T_bs = jnp.eye(4).at[2, 3].set(1.0)
-    for k in range(args.scans):
-        n = args.points
+    K, n = args.scans, args.points
+    scans = np.empty((K, n, 3), np.float32)
+    for k in range(K):
         ang = rng.uniform(0, 2 * np.pi, n)
         rad = rng.uniform(0.5, args.map_size * 0.45, n)
-        xyz = np.column_stack(
-            [
-                rad * np.cos(ang),
-                rad * np.sin(ang),
-                0.2 * np.sin(rad) - 1.0,
-            ]
-        ).astype(np.float32)
-        state, _ = step(
-            state, jnp.asarray(xyz), jnp.ones(n, bool), T_bs, jnp.eye(4)
+        scans[k] = np.column_stack(
+            [rad * np.cos(ang), rad * np.sin(ang), 0.2 * np.sin(rad) - 1.0]
         )
+
+    if args.batched:
+        seq, shard = sh.build_sharded_integrate_sequence(
+            geom, cfg, mesh, donate=False
+        )
+        state = shard(create_map_state(geom, cfg))
+        poses = jnp.broadcast_to(jnp.eye(4), (K, 4, 4))
+        state = seq(
+            state, jnp.asarray(scans), jnp.ones((K, n), bool), T_bs, poses
+        )
+    else:
+        step, shard = sh.build_sharded_integrate(geom, cfg, mesh, donate=False)
+        state = shard(create_map_state(geom, cfg))
+        for k in range(K):
+            state, _ = step(
+                state, jnp.asarray(scans[k]), jnp.ones(n, bool), T_bs,
+                jnp.eye(4),
+            )
     jax.block_until_ready(state.layers)
 
     finite_local = sum(
