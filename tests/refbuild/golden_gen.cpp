@@ -10,8 +10,10 @@
 //   scans.bin : int32 K, int32 N, then K*N*3 float32 sensor-frame xyz
 //   poses.bin : 16 float32 row-major T_base_sensor, then K*16 float32
 //               row-major T_world_base
-// argv: scans.bin poses.bin out.npz estimator(kalman|p2) raycast(0|1)
+// argv: scans.bin poses.bin out.npz estimator(kalman|p2|batch) raycast(0|1)
 //       mode(local|global) width height resolution [postprocess(0|1)]
+//       [sensor(lidar|rgbd|constant)] [intensity(0|1)]
+// With intensity=1, scans.bin carries K*N*4 float32 (xyz + intensity).
 
 // With FASTDEM_BENCH_REPS=<R> in the environment, the integrate loop is
 // repeated R times on fresh maps and timed (wall, best rep), printing
@@ -76,6 +78,9 @@ int main(int argc, char** argv) {
   const float height = std::atof(argv[8]);
   const float res = std::atof(argv[9]);
   const bool postprocess = argc > 10 && std::atoi(argv[10]) != 0;
+  const std::string sensor = argc > 11 ? argv[11] : "lidar";
+  const bool with_intensity = argc > 12 && std::atoi(argv[12]) != 0;
+  const int stride = with_intensity ? 4 : 3;
 
   std::vector<char> scans_raw, poses_raw;
   if (!read_all(scans_path, scans_raw) || !read_all(poses_path, poses_raw)) {
@@ -95,7 +100,7 @@ int main(int argc, char** argv) {
     nanopcl::PointCloud cloud;
     cloud.reserve(N);
     for (std::int32_t i = 0; i < N; ++i) {
-      cloud.add(xyz[i * 3], xyz[i * 3 + 1], xyz[i * 3 + 2]);
+      cloud.add(xyz[i * stride], xyz[i * stride + 1], xyz[i * stride + 2]);
     }
     fastdem::DEMConfig dcfg;
     dcfg.resolution = res;
@@ -115,6 +120,11 @@ int main(int argc, char** argv) {
   cfg.mapping.mode = (mode == "global") ? fastdem::MappingMode::GLOBAL
                                         : fastdem::MappingMode::LOCAL;
   cfg.raycasting.enabled = raycast;
+  if (sensor == "rgbd") {
+    cfg.sensor_model.type = fastdem::SensorType::RGBD;
+  } else if (sensor == "constant") {
+    cfg.sensor_model.type = fastdem::SensorType::Constant;
+  }
 
   // Pre-build the per-scan clouds once (IO/alloc excluded from timing).
   const Eigen::Isometry3d T_bs = isometry_from(tbs);
@@ -122,9 +132,14 @@ int main(int argc, char** argv) {
   std::vector<Eigen::Isometry3d> T_wbs(K, Eigen::Isometry3d::Identity());
   for (std::int32_t k = 0; k < K; ++k) {
     clouds[k].reserve(N);
-    const float* p = xyz + static_cast<std::size_t>(k) * N * 3;
+    const float* p = xyz + static_cast<std::size_t>(k) * N * stride;
     for (std::int32_t i = 0; i < N; ++i) {
-      clouds[k].add(p[i * 3], p[i * 3 + 1], p[i * 3 + 2]);
+      if (with_intensity) {
+        clouds[k].add(p[i * stride], p[i * stride + 1], p[i * stride + 2],
+                      nanopcl::Intensity(p[i * stride + 3]));
+      } else {
+        clouds[k].add(p[i * stride], p[i * stride + 1], p[i * stride + 2]);
+      }
     }
     T_wbs[k] = isometry_from(twb + k * 16);
   }

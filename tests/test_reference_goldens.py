@@ -90,18 +90,23 @@ def make_stream(seed=7, K=6, N=8000, step_x=0.3):
     return xyz, T_bs, poses
 
 
-def run_reference(golden_gen, tmp, xyz, T_bs, poses, est, raycast, mode, pp=0):
+def run_reference(golden_gen, tmp, xyz, T_bs, poses, est, raycast, mode,
+                  pp=0, sensor="lidar", intensity=None):
     K, N = xyz.shape[:2]
+    data = xyz
+    if intensity is not None:
+        data = np.concatenate([xyz, intensity[..., None]], axis=-1)
     with open(tmp / "scans.bin", "wb") as f:
         f.write(struct.pack("<ii", K, N))
-        f.write(xyz.tobytes())
+        f.write(np.ascontiguousarray(data, np.float32).tobytes())
     with open(tmp / "poses.bin", "wb") as f:
         f.write(T_bs.tobytes())
         f.write(poses.tobytes())
     out = tmp / "ref.npz"
     r = subprocess.run(
         [golden_gen, str(tmp / "scans.bin"), str(tmp / "poses.bin"),
-         str(out), est, str(raycast), mode, "15", "15", "0.1", str(pp)],
+         str(out), est, str(raycast), mode, "15", "15", "0.1", str(pp),
+         sensor, "1" if intensity is not None else "0"],
         capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 0, r.stderr
@@ -109,21 +114,33 @@ def run_reference(golden_gen, tmp, xyz, T_bs, poses, est, raycast, mode, pp=0):
     return sref
 
 
-def run_tpu(xyz, T_bs, poses, est, raycast, mode):
+def run_tpu(xyz, T_bs, poses, est, raycast, mode, sensor="lidar",
+            intensity=None):
+    from fastdem_tpu.config.config import SensorType
+
     cfg = Config()
     if est == "p2":
         cfg.mapping.estimation_type = EstimationType.P2_QUANTILE
     if mode == "global":
         cfg.mapping.mode = MappingMode.GLOBAL
     cfg.raycasting.enabled = bool(raycast)
+    if sensor == "rgbd":
+        cfg.sensor_model.type = SensorType.RGBD
+    elif sensor == "constant":
+        cfg.sensor_model.type = SensorType.CONSTANT
     geom = GridGeometry.from_length(15.0, 15.0, 0.1)
-    step = build_integrate(geom, cfg, donate=False)
-    state = create_map_state(geom, cfg)
+    step = build_integrate(
+        geom, cfg, has_intensity=intensity is not None, donate=False
+    )
+    state = create_map_state(
+        geom, cfg, has_intensity=intensity is not None
+    )
     K, N = xyz.shape[:2]
     for k in range(K):
         state, _ = step(
             state, jnp.asarray(xyz[k]), jnp.ones(N, bool),
             jnp.asarray(T_bs), jnp.asarray(poses[k]),
+            jnp.asarray(intensity[k]) if intensity is not None else None,
         )
     return geom, state
 
@@ -192,6 +209,46 @@ def test_raycast_matches_reference_within_envelope(golden_gen, tmp_path):
                                           err_msg=name)
         else:
             assert_layer(a, b, name, 1e-6, nan_budget=int(ncell * 0.005))
+
+
+@pytest.mark.parametrize("sensor", ["rgbd", "constant"])
+def test_sensor_models_match_reference(golden_gen, tmp_path, sensor):
+    """The fused z-variance hot path (r3^T Sigma r3, never materializing
+    [N,3,3]) must agree with the reference's full covariance pipeline for
+    every sensor model — visible through the variance/bound layers.
+
+    The reference transforms points in double; at exact cell boundaries an
+    f32-transformed point can land one cell over (observed: 1 point of
+    32K), so a handful of isolated boundary cells are tolerated."""
+    xyz, T_bs, poses = make_stream(K=4)
+    sref = run_reference(golden_gen, tmp_path, xyz, T_bs, poses,
+                         "kalman", 0, "local", sensor=sensor)
+    _, state = run_tpu(xyz, T_bs, poses, "kalman", 0, "local", sensor=sensor)
+    for name in ("elevation", "variance", "_kalman_p", "upper_bound",
+                 "lower_bound", "n_points"):
+        a = np.asarray(sref.layers[name])
+        b = np.asarray(state.layers[name])
+        assert int((np.isnan(a) != np.isnan(b)).sum()) <= 3, name
+        both = np.isfinite(a) & np.isfinite(b)
+        bad = int((np.abs(a[both] - b[both]) > 1e-5).sum())
+        assert bad <= 3, f"{name}: {bad} cells differ beyond 1e-5"
+
+
+def test_intensity_channel_matches_reference(golden_gen, tmp_path):
+    """Per-cell max-pool intensity accumulation
+    (src/elevation_mapping.cpp:154-166) — exact."""
+    xyz, T_bs, poses = make_stream(K=4)
+    rng = np.random.default_rng(2)
+    intensity = rng.uniform(0.0, 100.0, xyz.shape[:2]).astype(np.float32)
+    sref = run_reference(golden_gen, tmp_path, xyz, T_bs, poses,
+                         "kalman", 0, "local", intensity=intensity)
+    _, state = run_tpu(xyz, T_bs, poses, "kalman", 0, "local",
+                       intensity=intensity)
+    a = np.asarray(sref.layers["intensity"])
+    b = np.asarray(state.layers["intensity"])
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    both = np.isfinite(a) & np.isfinite(b)
+    np.testing.assert_array_equal(a[both], b[both])
 
 
 def test_ghost_clearing_matches_reference(golden_gen, tmp_path):
