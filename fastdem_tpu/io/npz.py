@@ -61,11 +61,25 @@ def save_npz(
         )
     meta_bytes = np.bytes_(json.dumps(meta).encode())
     try:
-        # numpy's savez = STORE-mode zip of .npy members, same as the
-        # reference's hand-rolled writer. Write through a file object so
-        # the archive lands at exactly ``path`` (savez would append .npz).
-        with open(path, "wb") as f:
-            np.savez(f, **arrays, meta=meta_bytes)
+        # STORE-mode zip of .npy members, like the reference's hand-rolled
+        # writer (src/io_npz.cpp:377-436). Members are materialized first
+        # and written via writestr so the LOCAL headers carry real 32-bit
+        # sizes: numpy's savez streams members with force_zip64 (size
+        # fields = 0xFFFFFFFF + ZIP64 extra), which numpy.load accepts but
+        # the reference's minimal ZIP parser rejects
+        # (tests/test_reference_goldens.py pins this interop).
+        import io as _io
+        import zipfile
+
+        with zipfile.ZipFile(
+            path, "w", zipfile.ZIP_STORED, allowZip64=False
+        ) as zf:
+            for name, arr in {**arrays, "meta": np.array(meta_bytes)}.items():
+                buf = _io.BytesIO()
+                np.lib.format.write_array(
+                    buf, np.asanyarray(arr), allow_pickle=False
+                )
+                zf.writestr(name + ".npy", buf.getvalue())
     except OSError:
         return False
     return True

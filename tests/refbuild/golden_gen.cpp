@@ -94,6 +94,26 @@ int main(int argc, char** argv) {
   const float* tbs = reinterpret_cast<const float*>(poses_raw.data());
   const float* twb = tbs + 16;
 
+  if (estimator == "npzload") {
+    // npz interop: load a map WRITTEN BY fastdem_tpu through the
+    // reference reader (src/io_npz.cpp:440-614) and re-save it — the
+    // Python side compares the round trip (schema + geometry + layers).
+    fastdem::ElevationMap map;
+    if (!fastdem::io::loadNpz(scans_path, map)) {
+      std::cerr << "loadNpz failed\n";
+      return 5;
+    }
+    if (!fastdem::io::saveNpz(out_path, map)) {
+      std::cerr << "saveNpz failed\n";
+      return 4;
+    }
+    std::printf("golden(npzload): %s -> %s (%d x %d @ %.3f, %zu layers)\n",
+                scans_path.c_str(), out_path.c_str(), map.getSize()(0),
+                map.getSize()(1), map.getResolution(),
+                map.getLayers().size());
+    return 0;
+  }
+
   if (estimator == "batch") {
     // Offline buildDEM path (src/pcd_convert.cpp:275-323): first scan only,
     // default DEMConfig at the given resolution.

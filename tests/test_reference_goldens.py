@@ -251,6 +251,38 @@ def test_intensity_channel_matches_reference(golden_gen, tmp_path):
     np.testing.assert_array_equal(a[both], b[both])
 
 
+def test_npz_interop_through_reference_reader(golden_gen, tmp_path):
+    """A map WRITTEN by fastdem_tpu must load through the reference's npz
+    reader (src/io_npz.cpp:440-614) and survive its write-back bit-for-bit
+    — the schema-compatibility claim, checked against the real parser."""
+    from fastdem_tpu.io.npz import save_npz
+
+    xyz, T_bs, poses = make_stream(K=3)
+    geom, state = run_tpu(xyz, T_bs, poses, "kalman", 0, "local")
+    ours = tmp_path / "ours.npz"
+    assert save_npz(str(ours), geom, state, frame_id="map")
+
+    out = tmp_path / "roundtrip.npz"
+    r = subprocess.run(
+        [golden_gen, str(ours), "/dev/null", str(out), "npzload",
+         "0", "local", "15", "15", "0.1"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    g2, s2, meta = load_npz(str(out))
+    assert (g2.rows, g2.cols) == (geom.rows, geom.cols)
+    assert abs(g2.resolution - geom.resolution) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(s2.position), np.asarray(state.position), atol=1e-9
+    )
+    assert set(s2.layers) == set(state.layers)
+    for name in state.layers:
+        np.testing.assert_array_equal(
+            np.asarray(s2.layers[name]), np.asarray(state.layers[name]),
+            err_msg=name,
+        )
+
+
 def test_ghost_clearing_matches_reference(golden_gen, tmp_path):
     """Multi-frame accumulate-then-clear semantics: a floating slab seen in
     one scan and occluded afterwards (rays pass beneath it) must be cleared
