@@ -80,7 +80,9 @@ def save_npz(
                     buf, np.asanyarray(arr), allow_pickle=False
                 )
                 zf.writestr(name + ".npy", buf.getvalue())
-    except OSError:
+    except (OSError, zipfile.LargeZipFile):
+        # LargeZipFile: a >=4 GiB member would need ZIP64, which the
+        # reference's parser cannot read — fail soft like other IO errors.
         return False
     return True
 

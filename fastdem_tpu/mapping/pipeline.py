@@ -817,9 +817,10 @@ class FastDEM:
         cloud in order (exact on every decision layer; see
         build_integrate_sequence on the diagnostic ray layer).
 
-        Transforms: either explicit — ``T_world_base`` a [K, 4, 4] array /
-        list, ``T_base_sensor`` one 4x4 or [K, 4, 4] — or omitted to query
-        the providers per cloud (failed lookups drop that scan, like the
+        Transforms follow ``integrate``'s rule: explicit mode requires
+        BOTH ``T_base_sensor`` (one 4x4 or [K, 4, 4]) and ``T_world_base``
+        (a [K, 4, 4] array / list); if either is missing the providers are
+        queried per cloud (failed lookups drop that scan, like the
         reference). Clouds are padded to one bucketed capacity; short final
         chunks are padded with empty frames replicating the last pose (a
         provable no-op). Channels are used only when every accepted cloud
@@ -832,7 +833,9 @@ class FastDEM:
         if batch < 1:
             raise ValueError("batch must be >= 1")
 
-        explicit = T_world_base is not None
+        # Same rule as integrate() (fastdem.cpp:83-131): explicit mode
+        # needs BOTH transforms, otherwise the providers are queried.
+        explicit = T_base_sensor is not None and T_world_base is not None
         if explicit:
             T_wb_all = np.asarray(T_world_base, dtype=np.float32).reshape(
                 -1, 4, 4
@@ -841,11 +844,14 @@ class FastDEM:
                 raise ValueError(
                     "T_world_base must provide one pose per cloud"
                 )
-            tbs_arr = np.asarray(
-                jnp.eye(4) if T_base_sensor is None else T_base_sensor,
-                dtype=np.float32,
-            )
+            tbs_arr = np.asarray(T_base_sensor, dtype=np.float32)
             static_tbs = tbs_arr.shape == (4, 4)
+            if not static_tbs:
+                tbs_arr = tbs_arr.reshape(-1, 4, 4)
+                if tbs_arr.shape[0] != len(clouds):
+                    raise ValueError(
+                        "T_base_sensor must be one 4x4 or one per cloud"
+                    )
         elif not self.has_transform_provider():
             log.error(
                 "[FastDEM] Transform providers not set; use explicit "

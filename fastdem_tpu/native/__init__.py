@@ -26,7 +26,6 @@ _SRCS = [
     os.path.join(_HERE, "src", "pcdio.cpp"),
     os.path.join(_HERE, "src", "scanstream.cpp"),
 ]
-_SRC = _SRCS[0]
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB = os.path.join(_BUILD_DIR, "libfastdem_io.so")
 
@@ -262,7 +261,10 @@ class ScanStream:
                     self.paths[self._i - 1],
                 )
             return xyz, mask.astype(bool), inten
-        # Pure-Python fallback: same padding semantics, no prefetch.
+        # Pure-Python fallback: same semantics as the native path — take
+        # the first `cap` points IN FILE ORDER (truncation window), with
+        # non-finite points masked+sentineled in place (pointcloud
+        # from_numpy already did that when the file was parsed).
         path = self.paths[self._i - 1]
         xyz = np.full((cap, 3), 1e9, np.float32)
         mask = np.zeros(cap, bool)
@@ -275,15 +277,11 @@ class ScanStream:
                 if path.endswith(".bin")
                 else pcd_io.load_pcd(path)
             )
-            pts = np.asarray(cloud.xyz)[np.asarray(cloud.mask)]
-            n = min(len(pts), cap)
-            xyz[:n] = pts[:n]
-            mask[:n] = True
+            n = min(cloud.capacity, cap)
+            xyz[:n] = np.asarray(cloud.xyz)[:n]
+            mask[:n] = np.asarray(cloud.mask)[:n]
             if inten is not None and cloud.has("intensity"):
-                ch = np.asarray(cloud.channels["intensity"])[
-                    np.asarray(cloud.mask)
-                ]
-                inten[:n] = ch[:n]
+                inten[:n] = np.asarray(cloud.channels["intensity"])[:n]
         except (OSError, ValueError) as e:
             self.errors += 1
             log.warning("[ScanStream] failed to parse '%s': %s", path, e)

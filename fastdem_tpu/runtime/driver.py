@@ -162,7 +162,18 @@ class MappingDriver:
     def _integrate_burst(self, items):
         """Integrate a backlog as batched device programs: runs of scans
         with the same transform mode (explicit vs provider) go through
-        integrate_sequence; mode switches split the run."""
+        integrate_sequence; mode switches split the run.
+
+        Observation callbacks force the per-scan path: integrate_sequence
+        does not materialize per-frame aux, so batching would silently
+        skip on_preprocessed/on_rasterized."""
+        if (
+            self.mapper.on_preprocessed is not None
+            or self.mapper.on_rasterized is not None
+        ):
+            for cloud, tbs, twb in items:
+                self._integrate_one(cloud, tbs, twb)
+            return
         runs = []
         for cloud, tbs, twb in items:
             # Same rule as FastDEM.integrate: explicit mode needs BOTH
@@ -245,8 +256,11 @@ class MappingDriver:
                 log.exception("driver timer error")
 
     def close(self):
-        if self.async_intake:
-            self.drain(timeout=10.0)
+        if self.async_intake and not self.drain(timeout=120.0):
+            log.warning(
+                "intake queue did not drain before close; %d scans dropped",
+                len(self._queue),
+            )
         self._stop.set()
         with self._qcond:
             self._qcond.notify_all()

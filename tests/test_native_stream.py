@@ -97,7 +97,20 @@ def test_stream_nonfinite_points_masked(tmp_path):
 
 
 def test_python_fallback_equivalent(tmp_path, rng, monkeypatch):
+    """Fallback == native for under-capacity, OVER-capacity (same
+    truncation window: first cap points in file order), and non-finite
+    points (masked in place, not compacted)."""
     paths, truths = _write_scans(tmp_path, 3, 128, rng)
+    # Over-capacity file with a NaN point inside the truncation window.
+    big = tmp_path / "zzbig.pcd"
+    rows = ["0 0 1"] * 300
+    rows[5] = "nan 0 0"
+    big.write_text(
+        "VERSION .7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        "WIDTH 300\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS 300\n"
+        "DATA ascii\n" + "\n".join(rows) + "\n"
+    )
+    paths = paths + [str(big)]
     cap = 256
     with native.ScanStream(
         paths, cap, threads=2, with_intensity=True
@@ -113,6 +126,7 @@ def test_python_fallback_equivalent(tmp_path, rng, monkeypatch):
         np.testing.assert_array_equal(ma, mb)
         np.testing.assert_array_equal(xa, xb)
         np.testing.assert_allclose(ia, ib, rtol=1e-6)
+    assert out_native[-1][1].sum() == cap - 1  # NaN point masked, truncated
 
 
 def test_replay_cli_resume_matches_single_run(tmp_path, rng):
@@ -168,6 +182,31 @@ def test_replay_cli_resume_matches_single_run(tmp_path, rng):
             np.asarray(s_full.layers[name]),
             err_msg=name,
         )
+
+    # Resume must also survive the PREFETCH path's compile warm-up
+    # (regression: the warm-up used identity poses, moving a resumed
+    # LOCAL map back to the origin and wiping it).
+    r = subprocess.run(
+        [
+            sys.executable, "tools/fastdem_replay.py",
+            "--config", "fastdem_tpu/config/presets/local_mapping.yaml",
+            "--scans", str(half_b), "--trajectory",
+            str(tmp_path / "poses_b.txt"),
+            "--prefetch", "2", "--capacity", "512", "--batch", "2",
+            "--resume", str(tmp_path / "out_a" / "map.npz"),
+            "--out", str(tmp_path / "out_b_pf"), "--platform", "cpu",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    _, s_pf, _ = load_npz(str(tmp_path / "out_b_pf" / "map.npz"))
+    el_full = np.asarray(s_full.layers["elevation"])
+    el_pf = np.asarray(s_pf.layers["elevation"])
+    # Same measured support and heights (prefetch path re-pads clouds, so
+    # require equality where both finite + matching NaN pattern).
+    np.testing.assert_array_equal(np.isnan(el_full), np.isnan(el_pf))
+    both = np.isfinite(el_full)
+    np.testing.assert_array_equal(el_full[both], el_pf[both])
 
 
 def test_replay_cli_prefetch(tmp_path, rng):

@@ -293,6 +293,42 @@ def test_facade_sequence_no_providers_returns_zero(geom):
     assert m.integrate_sequence([from_numpy(np.zeros((4, 3)))]) == 0
 
 
+def test_facade_sequence_pose_only_uses_providers(geom, rng):
+    """integrate()'s rule: explicit mode needs BOTH transforms. Passing
+    only T_world_base must route through the providers (and use the
+    calibrated extrinsic), not silently substitute identity."""
+    from fastdem_tpu.runtime.providers import StaticCalibration, TransformBuffer
+
+    K, N = 2, 1024
+    xyz, poses = _scans(K, N, rng)
+    T_bs = np.eye(4, dtype=np.float32)
+    T_bs[2, 3] = 2.0  # a big extrinsic offset identity would miss
+    calib = StaticCalibration("base")
+    calib.set_extrinsic("lidar", T_bs)
+    odom = TransformBuffer("base", "map")
+    times = [(k + 1) * 10**9 for k in range(K)]
+    for k in range(K):
+        odom.add_pose(times[k], poses[k])
+    clouds = [
+        from_numpy(xyz[k], frame_id="lidar", timestamp_ns=times[k])
+        for k in range(K)
+    ]
+
+    m = FastDEM(geom, Config())
+    m.set_calibration_provider(calib).set_odometry_provider(odom)
+    # Pose-only call: providers resolve T_base_sensor.
+    assert m.integrate_sequence(clouds, None, poses, batch=2) == K
+
+    m_ref = FastDEM(geom, Config())
+    for k in range(K):
+        m_ref.integrate(clouds[k], T_bs, poses[k])
+    _assert_states_equal(m.state, m_ref.state)
+
+    # And without providers, pose-only fails like integrate().
+    m2 = FastDEM(geom, Config())
+    assert m2.integrate_sequence(clouds, None, poses, batch=2) == 0
+
+
 def test_file_scans_kitti_trajectory(tmp_path):
     """tools.fastdem_node.file_scans auto-detects KITTI (12-col) vs TUM
     (8-col) trajectory files."""

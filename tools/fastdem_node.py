@@ -146,7 +146,14 @@ def main():
             if args.rate > 0:
                 time.sleep(1.0 / args.rate)
         if args.async_intake:
-            driver.drain()
+            # First batched compile over the tunnel can take minutes; a
+            # timed-out drain would snapshot a truncated map.
+            if not driver.drain(timeout=600.0):
+                print(
+                    "warning: intake queue did not drain; final artifacts "
+                    "miss trailing scans",
+                    file=sys.stderr,
+                )
             n_ok = driver._scan_count
         # Final snapshot + postprocess (the run_postprocess trigger).
         result = driver.run_postprocess()

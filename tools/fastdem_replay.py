@@ -141,12 +141,19 @@ def main():
         raise SystemExit("no scans to replay")
     poses = np.stack(poses).astype(np.float32)
 
-    # Warm-up on the first batch (excludes compile from the timing), then
-    # restore the pre-warm-up map (fresh, or the --resume checkpoint) and
-    # replay the full sequence.
+    # Warm-up (excludes compile from the timing) on the LARGEST cloud so
+    # the compiled (batch, capacity) program matches the full sequence —
+    # a bigger cloud later would otherwise recompile inside the timed
+    # loop. Then restore the pre-warm-up map (fresh, or the --resume
+    # checkpoint).
     state0 = mapper.state
     k0 = min(args.batch, len(clouds))
-    mapper.integrate_sequence(clouds[:k0], T_bs, poses[:k0], batch=args.batch)
+    bigi = max(range(len(clouds)), key=lambda i: clouds[i].capacity)
+    big = clouds[bigi]
+    mapper.integrate_sequence(
+        [big] * k0, T_bs, np.repeat(poses[bigi : bigi + 1], k0, 0),
+        batch=args.batch,
+    )
     import jax
 
     jax.block_until_ready(mapper.state.layers)
@@ -213,13 +220,19 @@ def run_prefetch(args, geom, mapper, T_bs):
     eye = np.eye(4, dtype=np.float32)
     tbs_j = jnp.asarray(T_bs)
 
-    # Compile outside the timed loop (an all-empty chunk is a no-op).
+    # Compile outside the timed loop. All-empty frames touch no layers,
+    # and using the CURRENT map position as the warm-up pose makes the
+    # LOCAL-mode move a no-op too — a resumed checkpoint's content and
+    # position survive the warm-up untouched.
+    pos = np.asarray(state.position, dtype=np.float32)
+    warm_pose = eye.copy()
+    warm_pose[0, 3], warm_pose[1, 3] = pos[0], pos[1]
     state = seq(
         state,
         jnp.full((K, cap, 3), 1e9, jnp.float32),
         jnp.zeros((K, cap), bool),
         tbs_j,
-        jnp.broadcast_to(jnp.asarray(eye), (K, 4, 4)),
+        jnp.broadcast_to(jnp.asarray(warm_pose), (K, 4, 4)),
     )
     jax.block_until_ready(state.layers)
 
