@@ -34,10 +34,11 @@ class Colormap(enum.Enum):
 
 @dataclass
 class PngExportConfig:
-    normalize: Normalize = Normalize.MIN_MAX
+    # Defaults mirror the reference's PngExportConfig (io/png.hpp:26-35).
+    normalize: Normalize = Normalize.PERCENTILE_1_99
     colormap: Colormap = Colormap.VIRIDIS
-    fixed_min: float = 0.0
-    fixed_max: float = 1.0
+    fixed_min: float = -2.0
+    fixed_max: float = 2.0
 
 
 # 8-anchor viridis LUT (io_png.cpp:68-77)
@@ -140,6 +141,9 @@ def layer_to_rgba(
     t = (layer - vmin) / rng
     finite = np.isfinite(layer)
     rgb = _apply_colormap(np.where(finite, t, 0.0), cfg.colormap)
+    # NaN pixels carry rgb=0 under alpha=0, like the reference
+    # (io_png.cpp:149-152) — keeps files byte-comparable.
+    rgb = np.where(finite[..., None], rgb, 0).astype(np.uint8)
     alpha = np.where(finite, 255, 0).astype(np.uint8)
     return np.concatenate([rgb, alpha[..., None]], axis=-1)
 

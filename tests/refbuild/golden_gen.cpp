@@ -34,6 +34,7 @@
 #include <fastdem/fastdem.hpp>
 #include <fastdem/io/npz.hpp>
 #include <fastdem/io/pcd_convert.hpp>
+#include <fastdem/io/png.hpp>
 #include <fastdem/postprocess/feature_extraction.hpp>
 #include <fastdem/postprocess/inpainting.hpp>
 #include <fastdem/postprocess/uncertainty_fusion.hpp>
@@ -93,6 +94,29 @@ int main(int argc, char** argv) {
   const float* xyz = reinterpret_cast<const float*>(scans_raw.data() + 8);
   const float* tbs = reinterpret_cast<const float*>(poses_raw.data());
   const float* twb = tbs + 16;
+
+  if (estimator == "png") {
+    // PNG render interop: load an npz, render `elevation` with the
+    // reference's colormap/normalization (src/io_png.cpp:117-181), and
+    // write the PNG for pixel-level comparison with io/png.py. mode
+    // selects the colormap (viridis|jet|grayscale).
+    fastdem::ElevationMap map;
+    if (!fastdem::io::loadNpz(scans_path, map)) {
+      std::cerr << "loadNpz failed\n";
+      return 5;
+    }
+    fastdem::io::PngExportConfig pcfg;
+    if (mode == "jet")
+      pcfg.colormap = fastdem::io::PngExportConfig::Colormap::JET;
+    if (mode == "grayscale")
+      pcfg.colormap = fastdem::io::PngExportConfig::Colormap::GRAYSCALE;
+    if (!fastdem::io::savePng(out_path, map, "elevation", pcfg)) {
+      std::cerr << "savePng failed\n";
+      return 6;
+    }
+    std::printf("golden(png): %s\n", out_path.c_str());
+    return 0;
+  }
 
   if (estimator == "npzload") {
     // npz interop: load a map WRITTEN BY fastdem_tpu through the

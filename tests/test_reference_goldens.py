@@ -42,6 +42,7 @@ REF_SOURCES = [
     "fastdem.cpp", "elevation_mapping.cpp", "sensor_model.cpp",
     "raycasting.cpp", "inpainting.cpp", "uncertainty_fusion.cpp",
     "feature_extraction.cpp", "io_npz.cpp", "pcd_convert.cpp",
+    "io_png.cpp",
 ]
 
 
@@ -60,6 +61,7 @@ def golden_gen(tmp_path_factory):
         "-I", os.path.join(REF, "include"),
         "-I", os.path.join(REF, "lib", "nanoPCL", "include"),
         "-I", os.path.join(REF, "lib", "nanoPCL", "thirdparty"),
+        "-I", os.path.join(REF, "lib", "stb"),
         "-I", TF_INC,
         os.path.join(REFBUILD, "golden_gen.cpp"),
         *[os.path.join(REF, "src", s) for s in REF_SOURCES],
@@ -281,6 +283,32 @@ def test_npz_interop_through_reference_reader(golden_gen, tmp_path):
             np.asarray(s2.layers[name]), np.asarray(state.layers[name]),
             err_msg=name,
         )
+
+
+@pytest.mark.parametrize("cmap", ["viridis", "jet", "grayscale"])
+def test_png_render_matches_reference(golden_gen, tmp_path, cmap):
+    """PNG export is PIXEL-IDENTICAL to the reference renderer for every
+    colormap: same percentile-1/99 normalization, LUT interpolation,
+    rounding, and rgb=0-under-alpha=0 NaN convention."""
+    PIL = pytest.importorskip("PIL.Image")
+    from fastdem_tpu.io.npz import save_npz
+    from fastdem_tpu.io.png import Colormap, PngExportConfig, save_png
+
+    xyz, T_bs, poses = make_stream(K=3)
+    geom, state = run_tpu(xyz, T_bs, poses, "kalman", 0, "local")
+    save_npz(str(tmp_path / "m.npz"), geom, state)
+    r = subprocess.run(
+        [golden_gen, str(tmp_path / "m.npz"), "/dev/null",
+         str(tmp_path / "ref.png"), "png", "0", cmap, "0", "0", "0"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    cfg = PngExportConfig()
+    cfg.colormap = Colormap(cmap)
+    assert save_png(str(tmp_path / "tpu.png"), state, "elevation", cfg)
+    a = np.asarray(PIL.open(tmp_path / "ref.png").convert("RGBA"))
+    b = np.asarray(PIL.open(tmp_path / "tpu.png").convert("RGBA"))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_ghost_clearing_matches_reference(golden_gen, tmp_path):

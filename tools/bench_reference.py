@@ -28,6 +28,7 @@ SOURCES = [
     "fastdem.cpp", "elevation_mapping.cpp", "sensor_model.cpp",
     "raycasting.cpp", "inpainting.cpp", "uncertainty_fusion.cpp",
     "feature_extraction.cpp", "io_npz.cpp", "pcd_convert.cpp",
+    "io_png.cpp",
 ]
 
 
@@ -38,6 +39,7 @@ def build(out):
         "-I", os.path.join(REF, "include"),
         "-I", os.path.join(REF, "lib", "nanoPCL", "include"),
         "-I", os.path.join(REF, "lib", "nanoPCL", "thirdparty"),
+        "-I", os.path.join(REF, "lib", "stb"),
         "-I", TF_INC,
         os.path.join(REFBUILD, "golden_gen.cpp"),
         *[os.path.join(REF, "src", s) for s in SOURCES],
