@@ -39,6 +39,7 @@
 #include <fastdem/postprocess/inpainting.hpp>
 #include <fastdem/postprocess/uncertainty_fusion.hpp>
 #include <nanopcl/core/point_cloud.hpp>
+#include <nanopcl/io/pcd_io.hpp>
 
 namespace {
 
@@ -115,6 +116,20 @@ int main(int argc, char** argv) {
       return 6;
     }
     std::printf("golden(png): %s\n", out_path.c_str());
+    return 0;
+  }
+
+  if (estimator == "pcdload") {
+    // PCD interop: parse a .pcd WRITTEN BY fastdem_tpu with nanoPCL's
+    // reader (io/pcd_io.hpp) and write it back with nanoPCL's writer —
+    // the Python side compares both against the original arrays.
+    auto cloud = nanopcl::io::loadPCD(scans_path);
+    if (cloud.empty()) {
+      std::cerr << "loadPCD returned empty\n";
+      return 5;
+    }
+    nanopcl::io::savePCD(out_path, cloud, nanopcl::io::PCDFormat::BINARY);
+    std::printf("golden(pcdload): %zu pts\n", cloud.size());
     return 0;
   }
 

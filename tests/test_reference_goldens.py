@@ -311,6 +311,37 @@ def test_png_render_matches_reference(golden_gen, tmp_path, cmap):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pcd_interop_through_nanopcl(golden_gen, tmp_path):
+    """A .pcd written by fastdem_tpu parses through nanoPCL's reader and
+    survives its binary writer — round-tripped arrays match exactly."""
+    from fastdem_tpu.cloud.pointcloud import from_numpy
+    from fastdem_tpu.io.pcd import load_pcd, save_pcd
+
+    rng = np.random.default_rng(4)
+    n = 5000
+    xyz = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    inten = rng.uniform(0, 255, n).astype(np.float32)
+    ours = tmp_path / "ours.pcd"
+    assert save_pcd(str(ours), from_numpy(xyz, intensity=inten))
+
+    out = tmp_path / "roundtrip.pcd"
+    r = subprocess.run(
+        [golden_gen, str(ours), "/dev/null", str(out), "pcdload",
+         "0", "local", "15", "15", "0.1"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    back = load_pcd(str(out))
+    assert back.count() == n
+    np.testing.assert_array_equal(
+        np.asarray(back.xyz)[np.asarray(back.mask)], xyz
+    )
+    assert back.has("intensity")
+    np.testing.assert_array_equal(
+        np.asarray(back.channels["intensity"])[np.asarray(back.mask)], inten
+    )
+
+
 def test_ghost_clearing_matches_reference(golden_gen, tmp_path):
     """Multi-frame accumulate-then-clear semantics: a floating slab seen in
     one scan and occluded afterwards (rays pass beneath it) must be cleared
