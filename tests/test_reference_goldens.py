@@ -7,14 +7,19 @@ and a generator main. This suite compiles the reference sources IN PLACE
 from /root/reference (never copied) against those shims, feeds both
 implementations identical scan/pose streams, and compares every map layer.
 
-Measured agreement (also asserted below):
+Measured agreement (also asserted below; summary table in PARITY.md):
   * Kalman + Welford, min/max/obstacle/count layers: float-ULP level
     (many layers bit-exact; the reference computes transforms in double).
   * P2 quantile estimator: BIT-EXACT on all marker/count/bound layers.
   * Postprocess chain (UF + inpaint + features): 1e-6-level (slope in
     degrees to 3e-3 via acos sensitivity).
   * Raycasting: the documented polar-vs-DDA deviation envelope
-    (PARITY.md) — ghost_removal decisions exact on this scene.
+    (PARITY.md); multi-frame ghost clearing removes the SAME cells.
+  * RGB-D/Constant sensor models: within 1e-5 (isolated cell-boundary
+    points excepted); intensity max-pool exact.
+  * Offline buildDEM: support within 1%, elevation p99 <= 1e-4.
+  * Interop: npz round trip through the reference parser bit-exact; PNG
+    renders pixel-identical; .pcd files parse through nanoPCL.
 
 Skipped when no C++ toolchain or vendored Eigen is available.
 """
