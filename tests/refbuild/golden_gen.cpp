@@ -82,7 +82,8 @@ int main(int argc, char** argv) {
   const bool postprocess = argc > 10 && std::atoi(argv[10]) != 0;
   const std::string sensor = argc > 11 ? argv[11] : "lidar";
   const bool with_intensity = argc > 12 && std::atoi(argv[12]) != 0;
-  const int stride = with_intensity ? 4 : 3;
+  const bool with_color = argc > 13 && std::atoi(argv[13]) != 0;
+  const int stride = 3 + (with_intensity ? 1 : 0) + (with_color ? 3 : 0);
 
   std::vector<char> scans_raw, poses_raw;
   if (!read_all(scans_path, scans_raw) || !read_all(poses_path, poses_raw)) {
@@ -193,11 +194,22 @@ int main(int argc, char** argv) {
     clouds[k].reserve(N);
     const float* p = xyz + static_cast<std::size_t>(k) * N * stride;
     for (std::int32_t i = 0; i < N; ++i) {
-      if (with_intensity) {
-        clouds[k].add(p[i * stride], p[i * stride + 1], p[i * stride + 2],
-                      nanopcl::Intensity(p[i * stride + 3]));
+      const float* q = p + i * stride;
+      const int coff = with_intensity ? 4 : 3;
+      if (with_intensity && with_color) {
+        clouds[k].add(q[0], q[1], q[2], nanopcl::Intensity(q[3]),
+                      nanopcl::Color(static_cast<uint8_t>(q[coff]),
+                                     static_cast<uint8_t>(q[coff + 1]),
+                                     static_cast<uint8_t>(q[coff + 2])));
+      } else if (with_color) {
+        clouds[k].add(q[0], q[1], q[2],
+                      nanopcl::Color(static_cast<uint8_t>(q[coff]),
+                                     static_cast<uint8_t>(q[coff + 1]),
+                                     static_cast<uint8_t>(q[coff + 2])));
+      } else if (with_intensity) {
+        clouds[k].add(q[0], q[1], q[2], nanopcl::Intensity(q[3]));
       } else {
-        clouds[k].add(p[i * stride], p[i * stride + 1], p[i * stride + 2]);
+        clouds[k].add(q[0], q[1], q[2]);
       }
     }
     T_wbs[k] = isometry_from(twb + k * 16);

@@ -98,11 +98,13 @@ def make_stream(seed=7, K=6, N=8000, step_x=0.3):
 
 
 def run_reference(golden_gen, tmp, xyz, T_bs, poses, est, raycast, mode,
-                  pp=0, sensor="lidar", intensity=None):
+                  pp=0, sensor="lidar", intensity=None, color=None):
     K, N = xyz.shape[:2]
     data = xyz
     if intensity is not None:
-        data = np.concatenate([xyz, intensity[..., None]], axis=-1)
+        data = np.concatenate([data, intensity[..., None]], axis=-1)
+    if color is not None:  # [K, N, 3] u8-valued floats
+        data = np.concatenate([data, color.astype(np.float32)], axis=-1)
     with open(tmp / "scans.bin", "wb") as f:
         f.write(struct.pack("<ii", K, N))
         f.write(np.ascontiguousarray(data, np.float32).tobytes())
@@ -113,7 +115,8 @@ def run_reference(golden_gen, tmp, xyz, T_bs, poses, est, raycast, mode,
     r = subprocess.run(
         [golden_gen, str(tmp / "scans.bin"), str(tmp / "poses.bin"),
          str(out), est, str(raycast), mode, "15", "15", "0.1", str(pp),
-         sensor, "1" if intensity is not None else "0"],
+         sensor, "1" if intensity is not None else "0",
+         "1" if color is not None else "0"],
         capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 0, r.stderr
@@ -345,6 +348,71 @@ def test_pcd_interop_through_nanopcl(golden_gen, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(back.channels["intensity"])[np.asarray(back.mask)], inten
     )
+
+
+def test_color_channel_deviation_is_bounded(golden_gen, tmp_path):
+    """The color layer is a DOCUMENTED deviation (PARITY.md): the reference
+    keeps the LAST-written point's color per cell, we keep the MIN-Z
+    point's. Pin the bound: the packed u8 colors must agree on every
+    single-point cell, and every disagreement must still be a color of
+    SOME point that hit that cell this run."""
+    from fastdem_tpu.config.config import SensorType
+    from fastdem_tpu.utils.colors import pack_rgb
+
+    rng = np.random.default_rng(9)
+    K, N = 2, 6000
+    xyz, T_bs, poses = make_stream(seed=9, K=K, N=N)
+    color = rng.integers(0, 256, (K, N, 3)).astype(np.float32)
+
+    sref = run_reference(golden_gen, tmp_path, xyz, T_bs, poses,
+                         "kalman", 0, "global", color=color)
+
+    cfg = Config()
+    cfg.mapping.mode = MappingMode.GLOBAL
+    geom = GridGeometry.from_length(15.0, 15.0, 0.1)
+    step = build_integrate(geom, cfg, has_color=True, donate=False)
+    state = create_map_state(geom, cfg, has_color=True)
+    for k in range(K):
+        packed = pack_rgb(jnp.asarray(color[k]))
+        state, _ = step(
+            state, jnp.asarray(xyz[k]), jnp.ones(N, bool),
+            jnp.asarray(T_bs), jnp.asarray(poses[k]), None, packed,
+        )
+
+    a = np.asarray(sref.layers["color"])
+    b = np.asarray(state.layers["color"])
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+
+    # Per-cell raw point counts + observed color sets from the inputs
+    # (n_points counts per-FRAME estimator updates, not raw points).
+    counts = np.zeros(geom.num_cells, np.int64)
+    cell_colors = {}
+    for k in range(K):
+        w_xy = xyz[k][:, :2] + poses[k][:2, 3][None]
+        ids, inside = geom.cell_id_of(
+            jnp.asarray(np.asarray(state.position)), jnp.asarray(w_xy)
+        )
+        ids = np.asarray(ids)
+        inside = np.asarray(inside)
+        counts += np.bincount(ids[inside], minlength=geom.num_cells)
+        packed = np.asarray(pack_rgb(jnp.asarray(color[k]))).view(np.uint32)
+        for i in np.flatnonzero(inside):
+            cell_colors.setdefault(int(ids[i]), set()).add(int(packed[i]))
+
+    single = np.isfinite(a) & (
+        counts.reshape(geom.rows, geom.cols) == 1
+    )
+    np.testing.assert_array_equal(a[single], b[single])
+
+    # Multi-point cells: our color must be a color observed in that cell.
+    bits_a = a.view(np.uint32)
+    bits_b = b.view(np.uint32)
+    diff = np.isfinite(a) & (bits_a != bits_b)
+    rows, cols = np.nonzero(diff)
+    assert diff.sum() < 0.2 * np.isfinite(a).sum()
+    for r, c in zip(rows, cols):
+        cid = r * geom.cols + c
+        assert int(bits_b[r, c]) in cell_colors.get(cid, set()), (r, c)
 
 
 def test_ghost_clearing_matches_reference(golden_gen, tmp_path):
