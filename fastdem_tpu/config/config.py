@@ -127,6 +127,12 @@ class RaycastingConfig:
     # "span" (cell z-extent in voxels; no scatter cost, map-size
     # independent). See rasterize.rasterize_scatter_packed.
     voxel_count_mode: str = "exact"
+    # TPU extensions: polar ray-field resolution. Halving azimuth bins
+    # roughly doubles the p90 height deviation vs the DDA oracle
+    # (BENCH_NOTES.md parameter sensitivity) but saves ~0.1 ms/scan;
+    # range bins per cell = 1 / range_bin_factor.
+    num_azimuth_bins: int = 2048
+    range_bin_factor: float = 0.5
 
 
 @dataclasses.dataclass
@@ -272,6 +278,8 @@ def _parse(root: Mapping) -> Config:
             "clear_threshold",
         ):
             _load(n, key, cfg.raycasting, key)
+        _load(n, "num_azimuth_bins", cfg.raycasting, "num_azimuth_bins", int)
+        _load(n, "range_bin_factor", cfg.raycasting, "range_bin_factor")
         _load(n, "voxel_count_mode", cfg.raycasting, "voxel_count_mode", str)
     n = root.get("sensor_model")
     if n:
@@ -341,6 +349,14 @@ def validate(cfg: Config) -> None:
         warn_default(
             "raycasting.voxel_count_mode", rc, "voxel_count_mode",
             lambda v: v in ("exact", "span"), "exact",
+        )
+        warn_default(
+            "raycasting.num_azimuth_bins", rc, "num_azimuth_bins",
+            lambda v: 64 <= v <= 16384, 2048,
+        )
+        warn_default(
+            "raycasting.range_bin_factor", rc, "range_bin_factor",
+            lambda v: 0.1 <= v <= 2.0, 0.5,
         )
 
     warn_default(

@@ -179,8 +179,8 @@ def build_integrate(
     has_color: bool = False,
     jit: bool = True,
     donate: bool = True,
-    ray_num_azimuth: int = 2048,
-    ray_range_bin_factor: float = 0.5,
+    ray_num_azimuth: Optional[int] = None,
+    ray_range_bin_factor: Optional[float] = None,
     ray_max_range: Optional[float] = None,
     ray_exact_window: bool = True,
     scatter_mode: str = "packed",
@@ -235,8 +235,8 @@ def build_integrate(
 def _build_phases(
     geom: GridGeometry,
     cfg: Config,
-    ray_num_azimuth: int,
-    ray_range_bin_factor: float,
+    ray_num_azimuth: Optional[int],
+    ray_range_bin_factor: Optional[float],
     ray_max_range: Optional[float],
     scatter_mode: str,
     voxel_count_mode: Optional[str],
@@ -258,6 +258,13 @@ def _build_phases(
     """
     if voxel_count_mode is None:
         voxel_count_mode = cfg.raycasting.voxel_count_mode
+    # Polar-field resolution comes from the config unless the caller
+    # overrides (raycasting.num_azimuth_bins / range_bin_factor — TPU
+    # extension keys, see config.py).
+    if ray_num_azimuth is None:
+        ray_num_azimuth = int(cfg.raycasting.num_azimuth_bins)
+    if ray_range_bin_factor is None:
+        ray_range_bin_factor = float(cfg.raycasting.range_bin_factor)
     if scatter_mode not in ("packed", "twophase"):
         raise ValueError(f"unknown scatter_mode: {scatter_mode!r}")
     if voxel_count_mode == "span" and scatter_mode != "packed":
@@ -465,8 +472,8 @@ def build_integrate_fused(
     has_color: bool = False,
     jit: bool = True,
     donate: bool = True,
-    ray_num_azimuth: int = 2048,
-    ray_range_bin_factor: float = 0.5,
+    ray_num_azimuth: Optional[int] = None,
+    ray_range_bin_factor: Optional[float] = None,
     ray_max_range: Optional[float] = None,
     ray_exact_window: bool = True,
     scatter_mode: str = "packed",

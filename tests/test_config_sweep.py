@@ -69,6 +69,47 @@ def test_pipeline_traces_all_estimator_mode_sensor(est, mode, sensor, rng):
     assert np.nanmin(var) >= 0.0
 
 
+def test_ray_field_resolution_config_keys(rng):
+    """raycasting.num_azimuth_bins / range_bin_factor (TPU extension keys)
+    parse, clamp, and reach the compiled pipeline."""
+    from fastdem_tpu.config.config import parse_config
+
+    cfg = parse_config(
+        {"raycasting": {"enabled": True, "num_azimuth_bins": 1024,
+                        "range_bin_factor": 1.0,
+                        "voxel_count_mode": "span"}}
+    )
+    assert cfg.raycasting.num_azimuth_bins == 1024
+    assert cfg.raycasting.range_bin_factor == 1.0
+    # Out-of-range values warn-and-clamp to defaults.
+    bad = parse_config(
+        {"raycasting": {"enabled": True, "num_azimuth_bins": 7,
+                        "range_bin_factor": 99.0}}
+    )
+    assert bad.raycasting.num_azimuth_bins == 2048
+    assert bad.raycasting.range_bin_factor == 0.5
+
+    geom = GridGeometry.from_length(8.0, 8.0, 0.25)
+    step = build_integrate(geom, cfg, donate=False)
+    state = create_map_state(geom, cfg)
+    xyz = jnp.asarray(_scan(rng))
+    state, _ = step(
+        state, xyz, jnp.ones(xyz.shape[0], bool),
+        jnp.eye(4).at[2, 3].set(0.8), jnp.eye(4),
+    )
+    assert np.isfinite(np.asarray(state.layers[layers.elevation])).sum() > 50
+
+
+def test_fast_preset_loads(rng):
+    from fastdem_tpu.runtime.node_config import NodeConfig
+
+    cfg = NodeConfig.load(
+        "fastdem_tpu/config/presets/local_mapping_fast.yaml"
+    )
+    assert cfg.pipeline.raycasting.voxel_count_mode == "span"
+    assert cfg.pipeline.raycasting.num_azimuth_bins == 1024
+
+
 @pytest.mark.parametrize(
     "scatter_mode,voxel_count_mode,exact_window",
     [
