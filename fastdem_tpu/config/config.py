@@ -133,6 +133,10 @@ class RaycastingConfig:
     # range bins per cell = 1 / range_bin_factor.
     num_azimuth_bins: int = 2048
     range_bin_factor: float = 0.5
+    # Maximum ray range in meters; 0 = auto (derived from the point
+    # filter's range_max, falling back to the map diagonal). Bounds the
+    # polar field and enables the windowed resample on large global maps.
+    max_range: float = 0.0
 
 
 @dataclasses.dataclass
@@ -280,6 +284,7 @@ def _parse(root: Mapping) -> Config:
             _load(n, key, cfg.raycasting, key)
         _load(n, "num_azimuth_bins", cfg.raycasting, "num_azimuth_bins", int)
         _load(n, "range_bin_factor", cfg.raycasting, "range_bin_factor")
+        _load(n, "max_range", cfg.raycasting, "max_range")
         _load(n, "voxel_count_mode", cfg.raycasting, "voxel_count_mode", str)
     n = root.get("sensor_model")
     if n:
@@ -357,6 +362,9 @@ def validate(cfg: Config) -> None:
         warn_default(
             "raycasting.range_bin_factor", rc, "range_bin_factor",
             lambda v: 0.1 <= v <= 2.0, 0.5,
+        )
+        warn_default(
+            "raycasting.max_range", rc, "max_range", lambda v: v >= 0, 0.0
         )
 
     warn_default(

@@ -265,6 +265,8 @@ def _build_phases(
         ray_num_azimuth = int(cfg.raycasting.num_azimuth_bins)
     if ray_range_bin_factor is None:
         ray_range_bin_factor = float(cfg.raycasting.range_bin_factor)
+    if ray_max_range is None and cfg.raycasting.max_range > 0:
+        ray_max_range = float(cfg.raycasting.max_range)
     if scatter_mode not in ("packed", "twophase"):
         raise ValueError(f"unknown scatter_mode: {scatter_mode!r}")
     if voxel_count_mode == "span" and scatter_mode != "packed":
