@@ -10,6 +10,7 @@ carries the full estimator state, SURVEY.md 5.4).
 
 Run: python examples/07_batched_replay_resume.py [--platform cpu]
 """
+import os
 import sys
 import tempfile
 
@@ -49,13 +50,14 @@ def main():
     half = K // 2
     m_a = fd.FastDEM(geom, fd.Config())
     m_a.integrate_sequence(clouds[:half], T_bs, poses[:half], batch=4)
-    ckpt = tempfile.mktemp(suffix=".npz")
+    fd_ckpt, ckpt = tempfile.mkstemp(suffix=".npz")
+    os.close(fd_ckpt)
     assert save_npz(ckpt, geom, m_a.state)
     print(f"checkpointed {half} scans -> {ckpt}")
 
     m_b = fd.FastDEM(geom, fd.Config())  # fresh process stand-in
-    _, state, meta = load_npz(ckpt)
-    m_b.state = GridMapState(layers=dict(state.layers), position=state.position)
+    _, m_b.state, meta = load_npz(ckpt)
+    os.unlink(ckpt)
     m_b.integrate_sequence(clouds[half:], T_bs, poses[half:], batch=4)
 
     for name in m_full.state.layers:

@@ -142,7 +142,9 @@ def layer_to_rgba(
     finite = np.isfinite(layer)
     rgb = _apply_colormap(np.where(finite, t, 0.0), cfg.colormap)
     # NaN pixels carry rgb=0 under alpha=0, like the reference
-    # (io_png.cpp:149-152) — keeps files byte-comparable.
+    # (io_png.cpp:149-152) — decoded RGBA is then pixel-identical to the
+    # reference renderer (the compressed file bytes still differ: zlib
+    # here vs stb's deflate).
     rgb = np.where(finite[..., None], rgb, 0).astype(np.uint8)
     alpha = np.where(finite, 255, 0).astype(np.uint8)
     return np.concatenate([rgb, alpha[..., None]], axis=-1)

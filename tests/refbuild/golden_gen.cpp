@@ -10,10 +10,19 @@
 //   scans.bin : int32 K, int32 N, then K*N*3 float32 sensor-frame xyz
 //   poses.bin : 16 float32 row-major T_base_sensor, then K*16 float32
 //               row-major T_world_base
-// argv: scans.bin poses.bin out.npz estimator(kalman|p2|batch) raycast(0|1)
-//       mode(local|global) width height resolution [postprocess(0|1)]
-//       [sensor(lidar|rgbd|constant)] [intensity(0|1)]
-// With intensity=1, scans.bin carries K*N*4 float32 (xyz + intensity).
+// argv: scans.bin poses.bin out.npz mode raycast(0|1) submode width height
+//       resolution [postprocess(0|1)] [sensor(lidar|rgbd|constant)]
+//       [intensity(0|1)] [color(0|1)]
+// where `mode` (argv[4]) selects:
+//   kalman|p2  - run the mapping pipeline (submode = local|global)
+//   batch      - buildDEM on the first scan
+//   npzload    - scans.bin is an .npz path: load via the reference reader,
+//                re-save to out.npz
+//   pcdload    - scans.bin is a .pcd path: parse via nanoPCL, re-save
+//   png        - scans.bin is an .npz path: render `elevation` to out PNG
+//                (submode = viridis|jet|grayscale)
+// Scan records are xyz (3 floats), +1 with intensity=1, +3 (r g b as
+// u8-valued floats) with color=1 — K*N*stride float32 after the header.
 
 // With FASTDEM_BENCH_REPS=<R> in the environment, the integrate loop is
 // repeated R times on fresh maps and timed (wall, best rep), printing

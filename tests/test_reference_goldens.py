@@ -356,7 +356,6 @@ def test_color_channel_deviation_is_bounded(golden_gen, tmp_path):
     point's. Pin the bound: the packed u8 colors must agree on every
     single-point cell, and every disagreement must still be a color of
     SOME point that hit that cell this run."""
-    from fastdem_tpu.config.config import SensorType
     from fastdem_tpu.utils.colors import pack_rgb
 
     rng = np.random.default_rng(9)
