@@ -49,6 +49,8 @@
 #include <fastdem/postprocess/uncertainty_fusion.hpp>
 #include <nanopcl/core/point_cloud.hpp>
 #include <nanopcl/io/pcd_io.hpp>
+#include <nanopcl/geometry/normal_estimation.hpp>
+#include <nanopcl/registration/align.hpp>
 
 namespace {
 
@@ -126,6 +128,38 @@ int main(int argc, char** argv) {
       return 6;
     }
     std::printf("golden(png): %s\n", out_path.c_str());
+    return 0;
+  }
+
+  if (estimator == "icp") {
+    // Registration golden: scans.bin holds K=2 clouds (source, target);
+    // run nanoPCL ICP and GICP and print the recovered 4x4 transforms
+    // (row-major) + fitness for comparison with cloud/registration.py.
+    nanopcl::PointCloud src, tgt;
+    src.reserve(N);
+    tgt.reserve(N);
+    for (std::int32_t i = 0; i < N; ++i) {
+      src.add(xyz[i * 3], xyz[i * 3 + 1], xyz[i * 3 + 2]);
+      const float* q = xyz + (static_cast<std::size_t>(N) + i) * 3;
+      tgt.add(q[0], q[1], q[2]);
+    }
+    nanopcl::geometry::estimateCovariances(src, 10);
+    nanopcl::geometry::estimateCovariances(tgt, 10);
+    for (const char* m : {"icp", "gicp"}) {
+      nanopcl::registration::AlignSettings st;
+      st.max_iterations = 50;
+      st.max_correspondence_dist = 1.0;
+      const Eigen::Isometry3d init = Eigen::Isometry3d::Identity();
+      auto res = (std::string(m) == "icp")
+                     ? nanopcl::registration::alignICP(src, tgt, init, st)
+                     : nanopcl::registration::alignGICP(src, tgt, init, st);
+      const Eigen::Matrix4d T = res.transform.matrix();
+      std::printf("%s converged=%d fitness=%.4f T=", m, (int)res.converged,
+                  res.fitness);
+      for (int r = 0; r < 4; ++r)
+        for (int c = 0; c < 4; ++c) std::printf("%.8f ", T(r, c));
+      std::printf("\n");
+    }
     return 0;
   }
 

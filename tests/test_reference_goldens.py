@@ -350,6 +350,73 @@ def test_png_render_matches_reference(golden_gen, tmp_path, cmap):
     np.testing.assert_array_equal(a, b)
 
 
+def test_registration_matches_nanopcl(golden_gen, tmp_path):
+    """Our MXU-based ICP/GICP recovers the same rigid transform as
+    nanoPCL's KdTree+Gauss-Newton implementations on the same cloud pair
+    (both must undo the applied motion to ~mm/0.1deg; the two
+    implementations agree with each other to the same tolerance)."""
+    from fastdem_tpu.cloud.pointcloud import from_numpy
+    from fastdem_tpu.cloud.registration import align
+
+    rng = np.random.default_rng(6)
+    n = 3000
+    # Structured target (two planes + a ridge) so ICP is well-conditioned.
+    x = rng.uniform(-3, 3, n).astype(np.float32)
+    y = rng.uniform(-3, 3, n).astype(np.float32)
+    z = (0.3 * np.abs(x) + 0.15 * np.sin(2.0 * y)).astype(np.float32)
+    tgt = np.stack([x, y, z], -1).astype(np.float32)
+    # True motion: small yaw + translation.
+    th = 0.05
+    R = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0],
+         [0, 0, 1]], np.float32,
+    )
+    t = np.array([0.2, -0.1, 0.05], np.float32)
+    T_true = np.eye(4, dtype=np.float32)
+    T_true[:3, :3] = R
+    T_true[:3, 3] = t
+    # source = inverse-transformed target points (so align(src->tgt) = T_true)
+    src = (tgt - t) @ R  # R^T applied: (R^T (p - t))
+
+    data = np.stack([src, tgt]).astype(np.float32)
+    with open(tmp_path / "scans.bin", "wb") as f:
+        f.write(struct.pack("<ii", 2, n))
+        f.write(np.ascontiguousarray(data).tobytes())
+    with open(tmp_path / "poses.bin", "wb") as f:
+        f.write(np.eye(4, dtype=np.float32).tobytes())
+        f.write(np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)).tobytes())
+    r = subprocess.run(
+        [golden_gen, str(tmp_path / "scans.bin"), str(tmp_path / "poses.bin"),
+         "/dev/null", "icp", "0", "local", "15", "15", "0.1"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    ref_T = {}
+    for line in r.stdout.splitlines():
+        parts = line.split("T=")
+        if len(parts) == 2:
+            name = parts[0].split()[0]
+            vals = np.array([float(v) for v in parts[1].split()])
+            ref_T[name] = vals.reshape(4, 4)
+    assert set(ref_T) == {"icp", "gicp"}, r.stdout
+
+    for method in ("icp", "gicp"):
+        ours = align(
+            from_numpy(src), from_numpy(tgt), method=method,
+            max_iterations=50, max_correspondence_distance=1.0,
+        )
+        T_ours = np.asarray(ours.T)
+        for label, T in (("nanopcl", ref_T[method]), ("ours", T_ours)):
+            terr = np.linalg.norm(T[:3, 3] - T_true[:3, 3])
+            rerr = np.degrees(
+                np.arccos(
+                    np.clip((np.trace(T[:3, :3] @ R.T) - 1) / 2, -1, 1)
+                )
+            )
+            assert terr < 0.01, f"{method}/{label}: translation err {terr}"
+            assert rerr < 0.2, f"{method}/{label}: rotation err {rerr} deg"
+
+
 def test_pcd_interop_through_nanopcl(golden_gen, tmp_path):
     """A .pcd written by fastdem_tpu parses through nanoPCL's reader and
     survives its binary writer — round-tripped arrays match exactly."""
