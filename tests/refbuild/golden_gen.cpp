@@ -49,6 +49,7 @@
 #include <fastdem/postprocess/uncertainty_fusion.hpp>
 #include <nanopcl/core/point_cloud.hpp>
 #include <nanopcl/io/pcd_io.hpp>
+#include <nanopcl/filters/downsample.hpp>
 #include <nanopcl/geometry/normal_estimation.hpp>
 #include <nanopcl/registration/align.hpp>
 
@@ -128,6 +129,28 @@ int main(int argc, char** argv) {
       return 6;
     }
     std::printf("golden(png): %s\n", out_path.c_str());
+    return 0;
+  }
+
+  if (estimator == "voxel") {
+    // voxelGrid golden: downsample the first scan at `res` with CENTROID
+    // and ANY modes; write both results as binary PCDs (out_path gets
+    // ".centroid.pcd"/".any.pcd" suffixes).
+    nanopcl::PointCloud cloud;
+    cloud.reserve(N);
+    for (std::int32_t i = 0; i < N; ++i) {
+      cloud.add(xyz[i * 3], xyz[i * 3 + 1], xyz[i * 3 + 2]);
+    }
+    auto cen = nanopcl::filters::voxelGrid(cloud, res,
+                                           nanopcl::filters::VoxelMode::CENTROID);
+    auto any = nanopcl::filters::voxelGrid(cloud, res,
+                                           nanopcl::filters::VoxelMode::ANY);
+    nanopcl::io::savePCD(out_path + ".centroid.pcd", cen,
+                         nanopcl::io::PCDFormat::BINARY);
+    nanopcl::io::savePCD(out_path + ".any.pcd", any,
+                         nanopcl::io::PCDFormat::BINARY);
+    std::printf("golden(voxel): %zu -> %zu (centroid), %zu (any)\n",
+                cloud.size(), cen.size(), any.size());
     return 0;
   }
 

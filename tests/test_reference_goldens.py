@@ -350,6 +350,56 @@ def test_png_render_matches_reference(golden_gen, tmp_path, cmap):
     np.testing.assert_array_equal(a, b)
 
 
+def test_voxelgrid_matches_nanopcl(golden_gen, tmp_path):
+    """voxelGrid parity on the raycast hot path's downsampling (the
+    reference voxel-downsamples scans before the DDA): CENTROID voxel
+    sets and centroids must match nanoPCL's; ANY representatives must
+    come from the same voxel set."""
+    from fastdem_tpu.cloud.filters import VoxelMode, voxel_coords, voxel_grid
+    from fastdem_tpu.cloud.pointcloud import compact, from_numpy
+    from fastdem_tpu.io.pcd import load_pcd
+
+    rng = np.random.default_rng(12)
+    n = 10000
+    xyz = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    res = "0.25"
+    with open(tmp_path / "scans.bin", "wb") as f:
+        f.write(struct.pack("<ii", 1, n))
+        f.write(np.ascontiguousarray(xyz).tobytes())
+    with open(tmp_path / "poses.bin", "wb") as f:
+        f.write(np.eye(4, dtype=np.float32).tobytes())
+        f.write(np.eye(4, dtype=np.float32).tobytes())
+    out = tmp_path / "vox"
+    r = subprocess.run(
+        [golden_gen, str(tmp_path / "scans.bin"), str(tmp_path / "poses.bin"),
+         str(out), "voxel", "0", "local", "15", "15", res],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+
+    def voxel_key(pts):
+        c = np.asarray(voxel_coords(jnp.asarray(pts), float(res)))
+        return {tuple(v) for v in c}
+
+    for mode, suffix in ((VoxelMode.CENTROID, ".centroid.pcd"),
+                         (VoxelMode.ANY, ".any.pcd")):
+        ref = load_pcd(str(out) + suffix)
+        ref_pts = np.asarray(ref.xyz)[np.asarray(ref.mask)]
+        ours = compact(voxel_grid(from_numpy(xyz), float(res), mode))
+        our_pts = np.asarray(ours.xyz)[np.asarray(ours.mask)]
+        assert len(ref_pts) == len(our_pts), (mode, len(ref_pts), len(our_pts))
+        assert voxel_key(ref_pts) == voxel_key(our_pts), mode
+        if mode == VoxelMode.CENTROID:
+            # Same centroids voxel-by-voxel (sort both by voxel coord).
+            def sort_by_voxel(p):
+                c = np.asarray(voxel_coords(jnp.asarray(p), float(res)))
+                order = np.lexsort((c[:, 2], c[:, 1], c[:, 0]))
+                return p[order]
+            np.testing.assert_allclose(
+                sort_by_voxel(ref_pts), sort_by_voxel(our_pts), atol=1e-5
+            )
+
+
 def test_registration_matches_nanopcl(golden_gen, tmp_path):
     """Our MXU-based ICP/GICP recovers the same rigid transform as
     nanoPCL's KdTree+Gauss-Newton implementations on the same cloud pair
