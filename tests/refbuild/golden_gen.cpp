@@ -46,6 +46,7 @@
 #include <fastdem/io/png.hpp>
 #include <fastdem/postprocess/feature_extraction.hpp>
 #include <fastdem/postprocess/inpainting.hpp>
+#include <fastdem/postprocess/spatial_smoothing.hpp>
 #include <fastdem/postprocess/uncertainty_fusion.hpp>
 #include <nanopcl/core/point_cloud.hpp>
 #include <nanopcl/io/pcd_io.hpp>
@@ -321,6 +322,12 @@ int main(int argc, char** argv) {
                                     /*min_valid_neighbors=*/4,
                                     /*step_lower_percentile=*/0.05f,
                                     /*step_upper_percentile=*/0.95f);
+    // Median smoothing on a copy layer so the upstream comparisons stay
+    // untouched (spatial_smoothing.hpp:38-67).
+    map.add("elevation_smoothed", map.get("elevation"));
+    fastdem::applySpatialSmoothing(map, "elevation_smoothed",
+                                   /*kernel_size=*/3,
+                                   /*min_valid_neighbors=*/5);
   }
 
   if (!fastdem::io::saveNpz(out_path, map)) {

@@ -679,3 +679,13 @@ def test_postprocess_chain_matches_reference(golden_gen, tmp_path):
         a = np.asarray(sref.layers[name])
         b = np.asarray(out[name_map.get(name, name)])
         assert_layer(a, b, name, tol.get(name, 2e-6))
+
+    # Median spatial smoothing (the one postprocess op outside the chain;
+    # the generator applies it to an elevation copy).
+    from fastdem_tpu.postprocess.smoothing import smooth_median
+
+    sm_ref = np.asarray(sref.layers["elevation_smoothed"])
+    sm_ours = np.asarray(
+        smooth_median(out["elevation"], kernel_size=3, min_valid_neighbors=5)
+    )
+    assert_layer(sm_ref, sm_ours, "elevation_smoothed", 2e-6)
