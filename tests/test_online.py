@@ -216,6 +216,46 @@ class TestDriver:
             assert d._scan_count + d.dropped_scans == 12
             assert d._scan_count >= 3
 
+    def test_async_intake_with_timers_and_services(self):
+        """Threaded-runtime interplay: async burst intake, the viz and
+        postprocess timers, and service calls all running concurrently
+        must not race (facade access is serialized by the driver lock)
+        and must end with a consistent, fully-integrated map."""
+        import time
+
+        geom = GridGeometry.from_length(8.0, 8.0, 0.1)
+        calib = StaticCalibration()
+        calib.set_extrinsic("lidar", np.eye(4, dtype=np.float32))
+        pp = PostProcessConfig()
+        pp.inpainting.enabled = True
+        published = []
+        with MappingDriver(
+            geom,
+            Config(),
+            postprocess_cfg=pp,
+            calibration=calib,
+            odometry=StaticOdometry(),
+            postprocess_rate=15.0,
+            viz_rate=15.0,
+            async_intake=True,
+            burst_batch=3,
+            max_queue=64,
+        ) as d:
+            d.sinks["local_map"] = lambda p: published.append("viz")
+            d.sinks["postprocess"] = lambda p: published.append("pp")
+            for k in range(9):
+                assert d.on_scan(cloud(t=(k + 1) * 10**9))
+                if k == 4:
+                    d.run_inpainting()  # service mid-stream
+                time.sleep(0.02)
+            assert d.drain(timeout=120.0)
+            out = d.run_postprocess()
+            assert "elevation" in out
+            assert d._scan_count == 9
+            assert d.dropped_scans == 0
+        elev = np.asarray(d.mapper.state.layers[layers.elevation])
+        assert np.isfinite(elev).sum() > 50
+
     def test_timers_fire(self):
         import time
 
