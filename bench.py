@@ -127,7 +127,7 @@ def main():
     ap.add_argument("--no-raycast", action="store_true")
     ap.add_argument("--all", action="store_true",
                     help="also run the other BASELINE.md configs")
-    ap.add_argument("--scatter-mode", default="packed",
+    ap.add_argument("--scatter-mode", default="rows",
                     choices=["packed", "twophase"],
                     help="rasterizer formulation (A/B within one session)")
     ap.add_argument("--fused", action="store_true",

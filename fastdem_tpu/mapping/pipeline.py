@@ -183,7 +183,7 @@ def build_integrate(
     ray_range_bin_factor: Optional[float] = None,
     ray_max_range: Optional[float] = None,
     ray_exact_window: bool = True,
-    scatter_mode: str = "packed",
+    scatter_mode: str = "rows",
     voxel_count_mode: Optional[str] = None,
 ):
     """Compile the per-scan integrate step.
@@ -194,8 +194,9 @@ def build_integrate(
 
     ``xyz`` is the sensor-frame cloud (f32[N, 3]); transforms are 4x4 f32.
 
-    ``scatter_mode``: "packed" (default — single argmin-carry scatter, see
-    rasterize.rasterize_scatter_packed) or "twophase" (two-phase f32
+    ``scatter_mode``: "rows" (default — row-widened single-index scatter,
+    rasterize.rasterize_scatter_rows; per-INDEX cost model, r2), "packed"
+    (round-1 flat argmin-carry scatter) or "twophase" (two-phase f32
     scatter; exact reference tie semantics for sub-quantum z ties).
     ``voxel_count_mode``: "exact" or "span" — the raycaster's observed-
     evidence multiplicity (rasterize_scatter_packed docstring); "span"
@@ -267,16 +268,34 @@ def _build_phases(
         ray_range_bin_factor = float(cfg.raycasting.range_bin_factor)
     if ray_max_range is None and cfg.raycasting.max_range > 0:
         ray_max_range = float(cfg.raycasting.max_range)
-    if scatter_mode not in ("packed", "twophase"):
+    if scatter_mode not in ("rows", "packed", "twophase", "sort"):
         raise ValueError(f"unknown scatter_mode: {scatter_mode!r}")
-    if voxel_count_mode == "span" and scatter_mode != "packed":
-        raise ValueError('voxel_count_mode="span" requires scatter_mode="packed"')
-    if scatter_mode == "packed":
+    if voxel_count_mode == "span" and scatter_mode == "twophase":
+        raise ValueError('voxel_count_mode="span" needs rows/packed mode')
+    if scatter_mode == "sort" and cfg.raycasting.enabled:
+        # The sort-based rasterizer has no fused-scatter/gather riders for
+        # the polar ray field (it exists as the RGB-D-scale A/B; VERDICT
+        # r1 #5).
+        raise ValueError('scatter_mode="sort" requires raycasting disabled')
+    if scatter_mode in ("rows", "packed"):
         import functools
 
         raster_fn = functools.partial(
-            raster.rasterize_scatter_packed, voxel_count_mode=voxel_count_mode
+            raster.rasterize_scatter_rows
+            if scatter_mode == "rows"
+            else raster.rasterize_scatter_packed,
+            voxel_count_mode=voxel_count_mode,
         )
+    elif scatter_mode == "sort":
+        def raster_fn(geom_, position_, xyz_, mask_, zv_, intensity=None,
+                      color_packed=None, with_voxel_count=False,
+                      extra_min_scatter=None, phase_gather_rider=None):
+            assert extra_min_scatter is None and phase_gather_rider is None
+            return raster.rasterize(
+                geom_, position_, xyz_, mask_, zv_, intensity=intensity,
+                color_packed=color_packed,
+                with_voxel_count=with_voxel_count,
+            )
     else:
         raster_fn = raster.rasterize_scatter
     sensor = create_sensor_model(cfg.sensor_model)
@@ -478,7 +497,7 @@ def build_integrate_fused(
     ray_range_bin_factor: Optional[float] = None,
     ray_max_range: Optional[float] = None,
     ray_exact_window: bool = True,
-    scatter_mode: str = "packed",
+    scatter_mode: str = "rows",
     voxel_count_mode: Optional[str] = None,
 ):
     """K-fused replay step: batch the irregular ops of K scans into single

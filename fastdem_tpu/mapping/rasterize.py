@@ -554,6 +554,228 @@ def rasterize_scatter_packed(
     )
 
 
+def rasterize_scatter_rows(
+    geom: GridGeometry,
+    position: jnp.ndarray,
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    z_var: jnp.ndarray,
+    intensity: Optional[jnp.ndarray] = None,
+    color_packed: Optional[jnp.ndarray] = None,
+    with_voxel_count: bool = False,
+    extra_min_scatter=None,
+    phase_gather_rider=None,
+    voxel_count_mode: str = "exact",
+) -> CellObservations:
+    """Row-widened single-index scatter rasterization (fastest path, r2).
+
+    Round-2 cost model (tools/bench_rowops*.py, v5e): XLA:TPU scatter and
+    gather serialize per INDEX, not per element — a [n, 32] row update
+    costs the same ~11-13 ns/index as a 1-lane flat scatter, while the
+    round-1 flat widened-table design paid per concatenated lane (4n
+    indices). So every per-cell reduction becomes ONE lane of a single
+    [n, L]-row scatter-min into an int32 [ncell+1, L] table:
+
+      lane 0: packed ``(quantized z << idx_bits) | point_index`` — argmin
+              carry for variance/color (reference first-strict-min tie
+              semantics up to the z quantum, elevation_mapping.cpp:65-71).
+      lane 1: ``_f32_ordered_i32(z)`` — EXACT min z (bit-exact vs the
+              reference, unlike the round-1 packed path's quantized z).
+      lane 2: ordered(-z) — exact max z.
+      lane 3 (optional): ordered(-intensity).
+      lanes 4..4+31 (voxel_count_mode="exact"): distinct-z-voxel presence
+              bitmap — lane k gets 0 iff the point's (zbin mod 32) == k.
+              Rides the row for ~free, so "exact" evidence multiplicity
+              no longer costs a separate n-index lane (round-1's "span"
+              accuracy trade is obsolete on this path).
+
+    The polar slope reduction (``extra_min_scatter``) keys by polar bin,
+    not cell, so it stays a separate flat scatter (a unified giant table
+    measured 16x slower — table-size bound). The argmin gather shrinks to
+    variance [+ color] only (min z now comes from lane 1), fused with the
+    rider's field lookups as before.
+
+    Table size guard: the row table is [ncell+1, L]; for maps where
+    ncell * L exceeds ~2^23 entries the bitmap lanes are dropped and the
+    voxel count falls back to span / sort (like round 1's presence table).
+    """
+    if voxel_count_mode not in ("exact", "span"):
+        raise ValueError(f"unknown voxel_count_mode: {voxel_count_mode!r}")
+    ncell = geom.num_cells
+    shape = geom.shape
+    n = xyz.shape[0]
+    idx_bits = max(1, (n - 1).bit_length())
+    qmax = (1 << (31 - idx_bits)) - 1
+    ids, inside = geom.cell_id_of(position, xyz[:, :2])
+    valid = mask & inside
+    ids = jnp.where(valid, ids, ncell)
+    z = xyz[:, 2]
+
+    zlo = jnp.min(jnp.where(valid, z, _INF))
+    zhi = jnp.max(jnp.where(valid, z, -_INF))
+    zrange = jnp.maximum(zhi - zlo, 1e-6)
+    zq = jnp.clip(
+        jnp.floor((z - zlo) / zrange * qmax).astype(jnp.int32), 0, qmax
+    )
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    lanes = [
+        jnp.where(valid, (zq << idx_bits) | iota, _IMAX),
+        jnp.where(valid, _f32_ordered_i32(z), _IMAX),
+        jnp.where(valid, _f32_ordered_i32(-z), _IMAX),
+    ]
+    if intensity is not None:
+        lanes.append(jnp.where(valid, _f32_ordered_i32(-intensity), _IMAX))
+    int_lane = len(lanes) - 1 if intensity is not None else None
+
+    ZB = 32
+    vox_in_rows = (
+        with_voxel_count
+        and voxel_count_mode == "exact"
+        and (ncell + 1) * (len(lanes) + ZB) <= (1 << 23)
+    )
+    vox_lane0 = None
+    if vox_in_rows:
+        vox_lane0 = len(lanes)
+        zbin = jnp.floor(z / geom.resolution).astype(jnp.int32) % ZB
+        onehot = jnp.where(
+            valid[:, None]
+            & (zbin[:, None] == jnp.arange(ZB, dtype=jnp.int32)[None, :]),
+            jnp.int32(0),
+            _IMAX,
+        )
+        upd = jnp.concatenate(
+            [jnp.stack(lanes, axis=1), onehot], axis=1
+        )
+    else:
+        upd = jnp.stack(lanes, axis=1)
+    L = upd.shape[1]
+
+    t = (
+        jnp.full((ncell + 1, L), _IMAX, dtype=jnp.int32)
+        .at[ids]
+        .min(upd)
+    )[:ncell]
+
+    packed_t = t[:, 0]
+    touched = packed_t != _IMAX
+    amin = jnp.minimum(
+        packed_t & jnp.int32((1 << idx_bits) - 1), jnp.int32(n - 1)
+    )
+    min_z = _i32_ordered_f32(t[:, 1])
+    max_z = -_i32_ordered_f32(t[:, 2])
+    max_intensity = None
+    if intensity is not None:
+        mi = -_i32_ordered_f32(t[:, int_lane])
+        max_intensity = jnp.where(
+            jnp.isfinite(mi), mi, jnp.nan
+        ).reshape(shape)
+
+    extra_f32 = None
+    if extra_min_scatter is not None:
+        e_ids, e_vals, e_size = extra_min_scatter
+        et = (
+            jnp.full(e_size, _IMAX, dtype=jnp.int32)
+            .at[e_ids]
+            .min(_f32_ordered_i32(e_vals))
+        )[: e_size - 1]
+        extra_f32 = jnp.where(et == _IMAX, _INF, _i32_ordered_f32(et))
+
+    # ---- Argmin-carried channels: variance [+ color] of the min point.
+    # int32-fused gather (GSPMD zero-fill + SUM combining is exact in
+    # int32; see rasterize_scatter_packed). Cell path when the map is
+    # small relative to the scan, per-point path otherwise.
+    _i32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
+    _f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)  # noqa: E731
+    if ncell <= 2 * n:
+        bufs = [_i32(z_var)]
+        gidx = [amin]
+        if color_packed is not None:
+            bufs.append(_i32(color_packed))
+            gidx.append(amin + n)
+        off = len(bufs) * n
+        if phase_gather_rider is not None:
+            rider_buf, rider_idx = phase_gather_rider(extra_f32)
+            bufs.append(_i32(rider_buf))
+            gidx.append(rider_idx + off)
+        g = jnp.concatenate(bufs)[jnp.concatenate(gidx)]
+        min_z_var = _f32(g[:ncell])
+        pos = ncell
+        color = None
+        if color_packed is not None:
+            color = jnp.where(
+                touched, _f32(g[pos : pos + ncell]), jnp.nan
+            ).reshape(shape)
+            pos += ncell
+        extra = (
+            _f32(g[pos:]) if phase_gather_rider is not None else extra_f32
+        )
+    else:
+        gather_ids = jnp.minimum(ids, ncell - 1)
+        if phase_gather_rider is not None:
+            rider_buf, rider_idx = phase_gather_rider(extra_f32)
+            g = jnp.concatenate([amin, _i32(rider_buf)])[
+                jnp.concatenate([gather_ids, rider_idx + ncell])
+            ]
+            amin_at_pt = g[:n]
+            extra = _f32(g[n:])
+        else:
+            amin_at_pt = amin[gather_ids]
+            extra = extra_f32
+        at_min = valid & (amin_at_pt == iota)
+        lanes2 = [jnp.where(at_min, _f32_ordered_i32(z_var), _IMAX)]
+        if color_packed is not None:
+            lanes2.append(
+                jnp.where(at_min, _f32_ordered_i32(color_packed), _IMAX)
+            )
+        t2 = (
+            jnp.full((ncell + 1, len(lanes2)), _IMAX, dtype=jnp.int32)
+            .at[ids]
+            .min(jnp.stack(lanes2, axis=1))
+        )[:ncell]
+        min_z_var = _i32_ordered_f32(t2[:, 0])
+        color = None
+        if color_packed is not None:
+            color = jnp.where(
+                touched, _i32_ordered_f32(t2[:, 1]), jnp.nan
+            ).reshape(shape)
+
+    voxel_count = None
+    if vox_in_rows:
+        voxel_count = (
+            jnp.sum(t[:, vox_lane0 : vox_lane0 + ZB] == 0, axis=1)
+            .astype(jnp.float32)
+            .reshape(shape)
+        )
+    elif with_voxel_count and voxel_count_mode == "span":
+        lo = jnp.floor(min_z / geom.resolution)
+        hi = jnp.floor(max_z / geom.resolution)
+        voxel_count = jnp.where(
+            touched, jnp.clip(hi - lo + 1.0, 1.0, 32.0), 0.0
+        ).reshape(shape)
+    elif with_voxel_count:
+        from fastdem_tpu.cloud.filters import voxel_unique_mask
+
+        vm = voxel_unique_mask(xyz, valid, geom.resolution)
+        voxel_count = (
+            jnp.zeros(ncell + 1, dtype=jnp.float32)
+            .at[ids]
+            .add(vm.astype(jnp.float32))[:ncell]
+        ).reshape(shape)
+
+    nan = jnp.nan
+    return CellObservations(
+        min_z=jnp.where(touched, min_z, nan).reshape(shape),
+        min_z_var=jnp.where(touched, min_z_var, nan).reshape(shape),
+        max_z=jnp.where(touched, max_z, nan).reshape(shape),
+        touched=touched.reshape(shape),
+        max_intensity=max_intensity,
+        color=color,
+        voxel_count=voxel_count,
+        extra=extra,
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class CellStats:

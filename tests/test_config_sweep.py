@@ -113,6 +113,9 @@ def test_fast_preset_loads(rng):
 @pytest.mark.parametrize(
     "scatter_mode,voxel_count_mode,exact_window",
     [
+        ("rows", "exact", True),
+        ("rows", "exact", False),
+        ("rows", "span", True),
         ("packed", "exact", True),
         ("packed", "exact", False),
         ("packed", "span", True),

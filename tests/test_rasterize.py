@@ -245,3 +245,115 @@ class TestRasterizePacked:
         b2 = raster_packed(xyz2, with_voxel_count=True,
                            voxel_count_mode="span")
         assert float(a2.voxel_count[0, 0]) == float(b2.voxel_count[0, 0]) == 2.0
+
+
+def raster_rows(xyz, var=None, mask=None, geom=None, **kw):
+    xyz = jnp.asarray(xyz, dtype=jnp.float32)
+    n = xyz.shape[0]
+    if var is None:
+        var = jnp.full(n, 0.01, dtype=jnp.float32)
+    if mask is None:
+        mask = jnp.ones(n, dtype=bool)
+    return R.rasterize_scatter_rows(
+        geom or GEOM, POS, xyz, mask, jnp.asarray(var), **kw
+    )
+
+
+class TestRasterizeRows:
+    """Row-widened single-index scatter (rasterize_scatter_rows, round 2):
+    min_z is EXACT (its own ordered lane), var/color argmin-carried."""
+
+    def test_min_max_var_carry(self):
+        obs = raster_rows(
+            [[0.5, 0.5, 2.0], [0.5, 0.5, 1.0], [0.6, 0.4, 5.0]],
+            var=[0.111, 0.222, 0.5],
+        )
+        assert float(obs.min_z[0, 0]) == 1.0
+        assert float(obs.max_z[0, 0]) == 5.0
+        assert float(obs.min_z_var[0, 0]) == pytest.approx(0.222)
+
+    def test_tie_takes_first_point(self):
+        obs = raster_rows(
+            [[0.5, 0.5, 1.0], [0.5, 0.5, 1.0]], var=[0.3, 0.1]
+        )
+        assert float(obs.min_z_var[0, 0]) == pytest.approx(0.3)
+
+    def test_all_masked(self):
+        obs = raster_rows([[0.5, 0.5, 1.0]], mask=jnp.zeros(1, dtype=bool))
+        assert not bool(jnp.any(obs.touched))
+
+    def test_randomized_parity_vs_sorted(self, rng):
+        geom = GridGeometry.from_length(8.0, 8.0, 0.25)
+        n = 5000
+        xyz = np.zeros((n, 3), dtype=np.float32)
+        xyz[:, :2] = rng.uniform(-4.5, 4.5, size=(n, 2))
+        xyz[:, 2] = rng.uniform(-1.0, 2.0, size=n)
+        mask = rng.random(n) > 0.15
+        var = rng.uniform(1e-3, 0.1, size=n).astype(np.float32)
+        inten = rng.uniform(0, 50, size=n).astype(np.float32)
+        col = rng.uniform(0, 1, size=n).astype(np.float32)
+        kw = dict(
+            intensity=jnp.asarray(inten),
+            color_packed=jnp.asarray(col),
+            with_voxel_count=True,
+        )
+        a = R.rasterize(
+            geom, POS, jnp.asarray(xyz), jnp.asarray(mask),
+            jnp.asarray(var), **kw
+        )
+        b = R.rasterize_scatter_rows(
+            geom, POS, jnp.asarray(xyz), jnp.asarray(mask),
+            jnp.asarray(var), **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.touched), np.asarray(b.touched)
+        )
+        # min_z is now exact (ordered lane) — zero tolerance everywhere.
+        for name in ("min_z", "max_z", "max_intensity", "voxel_count"):
+            x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+            assert (np.isnan(x) == np.isnan(y)).all(), name
+            fin = np.isfinite(x)
+            np.testing.assert_array_equal(x[fin], y[fin], err_msg=name)
+
+    def test_large_map_per_point_path(self, rng):
+        geom = GridGeometry.from_length(30.0, 30.0, 0.1)
+        n = 2000
+        assert geom.num_cells > 2 * n
+        xyz = np.zeros((n, 3), dtype=np.float32)
+        xyz[:, :2] = rng.uniform(-14, 14, size=(n, 2))
+        xyz[:, 2] = rng.uniform(-1, 2, size=n)
+        mask = jnp.asarray(rng.random(n) > 0.1)
+        var = jnp.asarray(rng.uniform(1e-3, 0.05, n).astype(np.float32))
+        a = R.rasterize(
+            geom, POS, jnp.asarray(xyz), mask, var, with_voxel_count=True
+        )
+        b = R.rasterize_scatter_rows(
+            geom, POS, jnp.asarray(xyz), mask, var, with_voxel_count=True
+        )
+        for name in ("min_z", "min_z_var", "max_z", "voxel_count"):
+            x = np.asarray(getattr(a, name))
+            y = np.asarray(getattr(b, name))
+            assert (np.isnan(x) == np.isnan(y)).all(), name
+            fin = np.isfinite(x)
+            np.testing.assert_array_equal(x[fin], y[fin], err_msg=name)
+
+    def test_voxel_count_exact_bitmap(self):
+        xyz = [[0.5, 0.5, 0.05], [0.5, 0.5, 10.05]]
+        a = raster_rows(xyz, with_voxel_count=True, voxel_count_mode="exact")
+        b = raster_rows(xyz, with_voxel_count=True, voxel_count_mode="span")
+        assert float(a.voxel_count[0, 0]) == 2.0
+        assert float(b.voxel_count[0, 0]) == 11.0
+
+    def test_matches_packed_path(self, rng):
+        n = 3000
+        xyz = np.zeros((n, 3), dtype=np.float32)
+        xyz[:, :2] = rng.uniform(-2.2, 2.2, size=(n, 2))
+        xyz[:, 2] = rng.uniform(-1.0, 2.0, size=n)
+        var = rng.uniform(1e-3, 0.1, size=n).astype(np.float32)
+        a = raster_rows(xyz, var=var, with_voxel_count=True)
+        b = raster_packed(xyz, var=var, with_voxel_count=True)
+        for name in ("max_z", "voxel_count", "min_z_var"):
+            x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+            assert (np.isnan(x) == np.isnan(y)).all(), name
+            fin = np.isfinite(x)
+            np.testing.assert_array_equal(x[fin], y[fin], err_msg=name)
