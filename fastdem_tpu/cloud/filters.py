@@ -415,17 +415,25 @@ def radius_outlier_removal(
     cloud: PointCloud,
     radius: float,
     min_neighbors: int = 2,
+    method: str = "auto",
     per_bucket: int = 16,
 ) -> PointCloud:
     """Keep points with >= min_neighbors other points within ``radius``
-    (outlier_removal_impl.hpp:21-48)."""
-    from fastdem_tpu.cloud.search import BucketGrid
+    (outlier_removal_impl.hpp:21-48). "auto" counts exactly at any N
+    (search.radius_count_brute); "bucket" keeps the capped approximate
+    voxel-bucket count for latency-bound callers."""
+    if method in ("auto", "brute"):
+        from fastdem_tpu.cloud.search import radius_count_brute
 
-    grid = BucketGrid(cloud.xyz, cloud.mask, radius)
-    cnt = grid.radius_count(
-        cloud.xyz,
-        radius,
-        per_bucket=per_bucket,
-        exclude_self_idx=jnp.arange(cloud.capacity, dtype=jnp.int32),
-    )
+        cnt = radius_count_brute(cloud.xyz, cloud.mask, radius)
+    else:
+        from fastdem_tpu.cloud.search import BucketGrid
+
+        grid = BucketGrid(cloud.xyz, cloud.mask, radius)
+        cnt = grid.radius_count(
+            cloud.xyz,
+            radius,
+            per_bucket=per_bucket,
+            exclude_self_idx=jnp.arange(cloud.capacity, dtype=jnp.int32),
+        )
     return cloud.with_mask(cloud.mask & (cnt >= min_neighbors))

@@ -30,6 +30,18 @@ from fastdem_tpu.grid.gridmap import GridMapState
 METADATA_VERSION = 1  # io_npz.cpp:219
 
 
+def zip_member_info(name: str):
+    """Deterministic STORE-mode member header (fixed mtime): byte-identical
+    output for identical maps, shared by save_npz and the streaming
+    sharded writer (parallel/distributed.save_sharded_npz)."""
+    import zipfile
+
+    zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+    zi.compress_type = zipfile.ZIP_STORED
+    zi.external_attr = 0o600 << 16
+    return zi
+
+
 def save_npz(
     path: str,
     geom: GridGeometry,
@@ -37,7 +49,9 @@ def save_npz(
     layer_names: Optional[Iterable[str]] = None,
     frame_id: str = "map",
 ) -> bool:
-    names = list(layer_names) if layer_names is not None else list(state.layers)
+    # Sorted member order: canonical, writer-independent bytes (the
+    # streaming sharded writer must match byte-for-byte).
+    names = sorted(layer_names) if layer_names is not None else sorted(state.layers)
     pos = np.asarray(state.position, dtype=np.float64)
     meta = {
         "version": METADATA_VERSION,
@@ -79,7 +93,7 @@ def save_npz(
                 np.lib.format.write_array(
                     buf, np.asanyarray(arr), allow_pickle=False
                 )
-                zf.writestr(name + ".npy", buf.getvalue())
+                zf.writestr(zip_member_info(name + ".npy"), buf.getvalue())
     except (OSError, zipfile.LargeZipFile):
         # LargeZipFile: a >=4 GiB member would need ZIP64, which the
         # reference's parser cannot read — fail soft like other IO errors.

@@ -28,21 +28,33 @@ _FIELD_DTYPES = {
 }
 
 
+DEFAULT_VIEWPOINT = (0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0)  # tx ty tz qw qx qy qz
+
+
 def load_pcd(
-    path: str, capacity: Optional[int] = None, use_native: bool = True
-) -> PointCloud:
+    path: str,
+    capacity: Optional[int] = None,
+    use_native: bool = True,
+    return_meta: bool = False,
+):
     """Load a PCD v0.7 file (ascii or binary).
 
     Uses the C++ parser (fastdem_tpu.native) when a toolchain is available;
-    falls back to the pure-Python reader.
+    falls back to the pure-Python reader. With ``return_meta`` returns
+    ``(cloud, meta)`` where meta carries the preserved VIEWPOINT
+    (tx ty tz qw qx qy qz) like nanoPCL's PCDMetadata
+    (lib/nanoPCL/include/nanopcl/io/pcd_io.hpp:52-57).
     """
     if use_native:
         from fastdem_tpu import native
 
         out = native.load_pcd(path)
         if out is not None:
-            xyz, channels = out
-            return from_numpy(xyz, capacity=capacity, **channels)
+            xyz, channels, viewpoint = out
+            cloud = from_numpy(xyz, capacity=capacity, **channels)
+            if return_meta:
+                return cloud, {"viewpoint": viewpoint}
+            return cloud
     with open(path, "rb") as f:
         header: Dict[str, List[str]] = {}
         data_mode = None
@@ -68,6 +80,12 @@ def load_pcd(
             n = int(header["POINTS"][0])
         except (KeyError, IndexError) as e:
             raise ValueError(f"malformed PCD header ({e!r}): {path}") from None
+        viewpoint = np.asarray(
+            [float(v) for v in header.get(
+                "VIEWPOINT", [str(v) for v in DEFAULT_VIEWPOINT]
+            )],
+            dtype=np.float64,
+        )
 
         dtype_fields = []
         for name, size, typ, cnt in zip(fields, sizes, types, counts):
@@ -102,8 +120,14 @@ def load_pcd(
     if "intensity" in fields:
         channels["intensity"] = arr["intensity"].astype(np.float32)
     if "rgb" in fields:
-        # PCL packs rgb into the bits of a float.
-        bits = arr["rgb"].astype(np.float32).view(np.uint32)
+        # PCL packs rgb into 4 bytes; the field may be declared F (packed
+        # float bits) or U (packed uint, nanoPCL's writer) — both hold the
+        # same bit pattern in binary mode, but ascii/typed access differ.
+        raw_rgb = arr["rgb"]
+        if raw_rgb.dtype.kind == "f":
+            bits = raw_rgb.astype(np.float32).view(np.uint32)
+        else:
+            bits = raw_rgb.astype(np.uint32)
         channels["color"] = np.stack(
             [(bits >> 16) & 0xFF, (bits >> 8) & 0xFF, bits & 0xFF], axis=-1
         ).astype(np.uint8)
@@ -116,15 +140,37 @@ def load_pcd(
         if name in fields and ch not in channels:
             dt = np.float32 if ch == "time" else np.int32
             channels[ch] = arr[name].astype(dt)
-    return from_numpy(xyz, capacity=capacity, **channels)
+    cloud = from_numpy(xyz, capacity=capacity, **channels)
+    if return_meta:
+        return cloud, {"viewpoint": viewpoint}
+    return cloud
+
+
+def _format_viewpoint(viewpoint) -> str:
+    vp = [float(v) for v in (viewpoint or DEFAULT_VIEWPOINT)]
+    if len(vp) != 7:
+        raise ValueError("viewpoint must be (tx ty tz qw qx qy qz)")
+    return " ".join("%g" % v for v in vp)
 
 
 def save_pcd(
-    path: str, cloud: PointCloud, binary: bool = True, use_native: bool = True
+    path: str,
+    cloud: PointCloud,
+    binary: bool = True,
+    use_native: bool = True,
+    viewpoint=None,
+    ascii_precision: int = 8,
 ) -> bool:
-    """Save the valid points of a cloud as PCD v0.7."""
+    """Save the valid points of a cloud as PCD v0.7.
+
+    Matches nanoPCL's writer conventions (io/pcd_io.hpp PCDSaveOptions):
+    ``viewpoint`` (tx ty tz qw qx qy qz) is preserved in the header, rgb
+    is written as a packed TYPE-U field, normals as normal_x/y/z, and
+    ascii mode prints floats at fixed ``ascii_precision`` with rgb as the
+    packed integer.
+    """
     keep = np.asarray(cloud.mask)
-    if binary and use_native and "normal" not in cloud.channels:
+    if binary and use_native:
         from fastdem_tpu import native
 
         if native.available():
@@ -139,30 +185,42 @@ def save_pcd(
                 if "color" in cloud.channels
                 else None
             )
-            return native.save_pcd(path, xyz_n, inten, rgb)
+            nrm = (
+                np.asarray(cloud.channels["normal"], np.float32)[keep][:, :3]
+                if "normal" in cloud.channels
+                else None
+            )
+            return native.save_pcd(
+                path, xyz_n, inten, rgb, normal=nrm, viewpoint=viewpoint
+            )
     xyz = np.asarray(cloud.xyz, dtype=np.float32)[keep]
     n = xyz.shape[0]
     fields = ["x", "y", "z"]
     sizes = ["4", "4", "4"]
     types = ["F", "F", "F"]
     counts = ["1", "1", "1"]
+    fprec = f"%.{int(ascii_precision)}f"
     cols: List[np.ndarray] = [xyz[:, 0], xyz[:, 1], xyz[:, 2]]
+    fmts: List[str] = [fprec] * 3
     if "intensity" in cloud.channels:
         fields.append("intensity")
         sizes.append("4")
         types.append("F")
         counts.append("1")
+        fmts.append(fprec)
         cols.append(
             np.asarray(cloud.channels["intensity"], np.float32)[keep]
         )
     if "color" in cloud.channels:
         rgbu8 = np.asarray(cloud.channels["color"])[keep].astype(np.uint32)
         bits = (rgbu8[:, 0] << 16) | (rgbu8[:, 1] << 8) | rgbu8[:, 2]
+        # TYPE U like nanoPCL's writer; ascii prints the packed integer.
         fields.append("rgb")
         sizes.append("4")
-        types.append("F")
+        types.append("U")
         counts.append("1")
-        cols.append(bits.view(np.float32))
+        fmts.append("%d")
+        cols.append(bits)
     if "normal" in cloud.channels:
         nm = np.asarray(cloud.channels["normal"], np.float32)[keep]
         for i, name in enumerate(("normal_x", "normal_y", "normal_z")):
@@ -170,6 +228,7 @@ def save_pcd(
             sizes.append("4")
             types.append("F")
             counts.append("1")
+            fmts.append(fprec)
             cols.append(nm[:, i])
 
     header = (
@@ -179,19 +238,28 @@ def save_pcd(
         f"SIZE {' '.join(sizes)}\n"
         f"TYPE {' '.join(types)}\n"
         f"COUNT {' '.join(counts)}\n"
-        f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
+        f"WIDTH {n}\nHEIGHT 1\n"
+        f"VIEWPOINT {_format_viewpoint(viewpoint)}\nPOINTS {n}\n"
         f"DATA {'binary' if binary else 'ascii'}\n"
     )
     try:
         with open(path, "wb") as f:
             f.write(header.encode("ascii"))
-            data = np.column_stack(
-                [c.view(np.float32) if c.dtype != np.float32 else c for c in cols]
-            ).astype(np.float32)
             if binary:
-                f.write(data.tobytes())
+                # Interleave raw 4-byte records (u32 rgb stays u32).
+                rec = np.zeros(
+                    n,
+                    dtype=np.dtype(
+                        [(name, c.dtype) for name, c in zip(fields, cols)]
+                    ),
+                )
+                for name, c in zip(fields, cols):
+                    rec[name] = c
+                f.write(rec.tobytes())
             else:
-                np.savetxt(f, data, fmt="%.6f")
+                np.savetxt(f, np.column_stack(
+                    [c.astype(np.float64) for c in cols]
+                ), fmt=fmts)
     except OSError:
         return False
     return True

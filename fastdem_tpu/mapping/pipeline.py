@@ -313,6 +313,23 @@ def _build_phases(
     # range filter or ray_max_range for those).
     if ray_max_range is None and pf.range_max < 1e6:
         ray_max_range = float(pf.range_max) * 1.1 + 2.0
+    if local_mode:
+        # LOCAL maps follow the robot, so after move() the sensor sits
+        # within half a cell (+ the base->sensor offset) of the map
+        # center: no in-map ray can extend past the HALF diagonal plus a
+        # small margin. Bounding the polar field there halves its range
+        # axis vs the conservative full-diagonal default (rays whose true
+        # exit lies beyond clip to the last range bin, which the reverse
+        # cummin treats as alive through the whole bounded field —
+        # conservative-correct for every in-range cell; cells beyond the
+        # bound cannot exist when the sensor offset stays under the
+        # margin). Margin: 2 m sensor offset + 2 cells.
+        half_diag = (
+            0.5 * math.hypot(geom.rows, geom.cols) * geom.resolution
+        )
+        local_bound = half_diag + 2.0 + 2.0 * geom.resolution
+        if ray_max_range is None or ray_max_range > local_bound:
+            ray_max_range = local_bound
 
     def moved_position(position, target_xy):
         # Must match gridmap.move's arithmetic exactly (grid/gridmap.py).

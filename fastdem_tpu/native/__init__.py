@@ -41,8 +41,10 @@ class _CloudBuffers(ctypes.Structure):
         ("rgb", ctypes.POINTER(ctypes.c_uint8)),
         ("time", ctypes.POINTER(ctypes.c_float)),
         ("ring", ctypes.POINTER(ctypes.c_int32)),
+        ("normal", ctypes.POINTER(ctypes.c_float)),
         ("n", ctypes.c_int64),
         ("error", ctypes.c_int32),
+        ("viewpoint", ctypes.c_float * 7),
     ]
 
 
@@ -84,6 +86,8 @@ def _get() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
         ]
         lib.fastdem_save_pcd.restype = ctypes.c_int32
         lib.fastdem_free_cloud.argtypes = [ctypes.POINTER(_CloudBuffers)]
@@ -122,11 +126,16 @@ def _copy_out(buf: _CloudBuffers):
         out["time"] = np.ctypeslib.as_array(buf.time, shape=(n,)).copy()
     if buf.ring:
         out["ring"] = np.ctypeslib.as_array(buf.ring, shape=(n,)).copy()
+    if buf.normal:
+        out["normal"] = np.ctypeslib.as_array(
+            buf.normal, shape=(n, 3)
+        ).copy()
     return xyz, out
 
 
 def load_pcd(path: str):
-    """Returns (xyz f32[N,3], channels dict) or None if unavailable/failed."""
+    """Returns (xyz f32[N,3], channels dict, viewpoint f64[7]) or None if
+    unavailable/failed."""
     lib = _get()
     if lib is None:
         return None
@@ -136,9 +145,11 @@ def load_pcd(path: str):
         lib.fastdem_free_cloud(ctypes.byref(buf))
         return None
     try:
+        vp = np.asarray(list(buf.viewpoint), dtype=np.float64)
         if buf.n == 0:
-            return np.zeros((0, 3), np.float32), {}
-        return _copy_out(buf)
+            return np.zeros((0, 3), np.float32), {}, vp
+        xyz, out = _copy_out(buf)
+        return xyz, out, vp
     finally:
         lib.fastdem_free_cloud(ctypes.byref(buf))
 
@@ -158,19 +169,15 @@ def load_kitti(path: str):
         lib.fastdem_free_cloud(ctypes.byref(buf))
 
 
-def save_pcd(path: str, xyz: np.ndarray, intensity=None, rgb=None) -> bool:
+def save_pcd(
+    path: str, xyz: np.ndarray, intensity=None, rgb=None, normal=None,
+    viewpoint=None,
+) -> bool:
     lib = _get()
     if lib is None:
         return False
     xyz = np.ascontiguousarray(xyz, dtype=np.float32)
     n = xyz.shape[0]
-    pi = (
-        np.ascontiguousarray(intensity, dtype=np.float32).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_float)
-        )
-        if intensity is not None
-        else ctypes.POINTER(ctypes.c_float)()
-    )
     # Keep temporaries alive through the call.
     _inten = (
         np.ascontiguousarray(intensity, dtype=np.float32)
@@ -180,19 +187,28 @@ def save_pcd(path: str, xyz: np.ndarray, intensity=None, rgb=None) -> bool:
     _rgb = (
         np.ascontiguousarray(rgb, dtype=np.uint8) if rgb is not None else None
     )
-    pi = (
-        _inten.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        if _inten is not None
-        else ctypes.POINTER(ctypes.c_float)()
+    _nrm = (
+        np.ascontiguousarray(normal, dtype=np.float32)
+        if normal is not None
+        else None
     )
+    _vp = (
+        np.ascontiguousarray(viewpoint, dtype=np.float32)
+        if viewpoint is not None
+        else None
+    )
+    fptr = ctypes.POINTER(ctypes.c_float)
+    pi = _inten.ctypes.data_as(fptr) if _inten is not None else fptr()
     pr = (
         _rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         if _rgb is not None
         else ctypes.POINTER(ctypes.c_uint8)()
     )
+    pn = _nrm.ctypes.data_as(fptr) if _nrm is not None else fptr()
+    pv = _vp.ctypes.data_as(fptr) if _vp is not None else fptr()
     rc = lib.fastdem_save_pcd(
         path.encode(), n,
-        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pi, pr,
+        xyz.ctypes.data_as(fptr), pi, pr, pn, pv,
     )
     return rc == 0
 

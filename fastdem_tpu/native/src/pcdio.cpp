@@ -25,8 +25,12 @@ struct CloudBuffers {
   uint8_t* rgb;      // [n * 3]
   float* time;       // [n]
   int32_t* ring;     // [n]
+  float* normal;     // [n * 3]
   int64_t n;
   int32_t error;  // 0 ok; 1 open; 2 header; 3 data
+  // Preserved header VIEWPOINT (tx ty tz qw qx qy qz), like nanoPCL's
+  // PCDMetadata (io/pcd_io.hpp:52-57). Identity when absent.
+  float viewpoint[7];
 };
 
 void fastdem_free(void* p) { std::free(p); }
@@ -38,11 +42,13 @@ void fastdem_free_cloud(CloudBuffers* c) {
   std::free(c->rgb);
   std::free(c->time);
   std::free(c->ring);
+  std::free(c->normal);
   c->xyz = nullptr;
   c->intensity = nullptr;
   c->rgb = nullptr;
   c->time = nullptr;
   c->ring = nullptr;
+  c->normal = nullptr;
   c->n = 0;
 }
 
@@ -120,6 +126,8 @@ float field_as_float(const uint8_t* rec, const Field& f) {
 // Parse a PCD v0.7 file (ascii or binary). Fills CloudBuffers.
 void fastdem_load_pcd(const char* path, CloudBuffers* out) {
   std::memset(out, 0, sizeof(*out));
+  const float kIdentityVp[7] = {0.f, 0.f, 0.f, 1.f, 0.f, 0.f, 0.f};
+  std::memcpy(out->viewpoint, kIdentityVp, sizeof(kIdentityVp));
   FILE* f = std::fopen(path, "rb");
   if (!f) {
     out->error = 1;
@@ -153,6 +161,9 @@ void fastdem_load_pcd(const char* path, CloudBuffers* out) {
     } else if (key == "COUNT") {
       for (size_t i = 1; i < tok.size() && i - 1 < fields.size(); ++i)
         fields[i - 1].count = std::atoi(tok[i].c_str());
+    } else if (key == "VIEWPOINT") {
+      for (size_t i = 1; i < tok.size() && i <= 7; ++i)
+        out->viewpoint[i - 1] = static_cast<float>(std::atof(tok[i].c_str()));
     } else if (key == "POINTS") {
       n = std::atoll(tok[1].c_str());
     } else if (key == "DATA") {
@@ -179,6 +190,9 @@ void fastdem_load_pcd(const char* path, CloudBuffers* out) {
   const Field* frgb = nullptr;
   const Field* ft = nullptr;
   const Field* fr = nullptr;
+  const Field* fnx = nullptr;
+  const Field* fny = nullptr;
+  const Field* fnz = nullptr;
   for (const auto& fd : fields) {
     if (fd.name == "x") fx = &fd;
     if (fd.name == "y") fy = &fd;
@@ -187,6 +201,9 @@ void fastdem_load_pcd(const char* path, CloudBuffers* out) {
     if (fd.name == "rgb" || fd.name == "rgba") frgb = &fd;
     if (fd.name == "time" || fd.name == "t") ft = &fd;
     if (fd.name == "ring") fr = &fd;
+    if (fd.name == "normal_x") fnx = &fd;
+    if (fd.name == "normal_y") fny = &fd;
+    if (fd.name == "normal_z") fnz = &fd;
   }
   if (!fx || !fy || !fz) {
     std::fclose(f);
@@ -199,6 +216,9 @@ void fastdem_load_pcd(const char* path, CloudBuffers* out) {
   if (frgb) out->rgb = static_cast<uint8_t*>(std::malloc(3 * n));
   if (ft) out->time = static_cast<float*>(std::malloc(sizeof(float) * n));
   if (fr) out->ring = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * n));
+  const bool has_nrm = fnx && fny && fnz;
+  if (has_nrm)
+    out->normal = static_cast<float*>(std::malloc(sizeof(float) * 3 * n));
 
   if (binary) {
     std::vector<uint8_t> buf(static_cast<size_t>(rec_size) * n);
@@ -220,6 +240,11 @@ void fastdem_load_pcd(const char* path, CloudBuffers* out) {
       }
       if (ft) out->time[i] = field_as_float(rec, *ft);
       if (fr) out->ring[i] = static_cast<int32_t>(field_as_float(rec, *fr));
+      if (has_nrm) {
+        out->normal[i * 3 + 0] = field_as_float(rec, *fnx);
+        out->normal[i * 3 + 1] = field_as_float(rec, *fny);
+        out->normal[i * 3 + 2] = field_as_float(rec, *fnz);
+      }
     }
   } else {
     // ascii: token stream in field order.
@@ -242,6 +267,8 @@ void fastdem_load_pcd(const char* path, CloudBuffers* out) {
     int cx = col_of(fx), cy = col_of(fy), cz = col_of(fz);
     int ci = fi ? col_of(fi) : -1, crgb = frgb ? col_of(frgb) : -1;
     int ct = ft ? col_of(ft) : -1, cr = fr ? col_of(fr) : -1;
+    int cnx = fnx ? col_of(fnx) : -1, cny = fny ? col_of(fny) : -1;
+    int cnz = fnz ? col_of(fnz) : -1;
     for (int64_t i = 0; i < n; ++i) {
       for (int c = 0; c < total_cols; ++c) {
         if (std::fscanf(f, "%lf", &row[c]) != 1) {
@@ -254,15 +281,28 @@ void fastdem_load_pcd(const char* path, CloudBuffers* out) {
       out->xyz[i * 3 + 2] = static_cast<float>(row[cz]);
       if (fi) out->intensity[i] = static_cast<float>(row[ci]);
       if (frgb) {
-        float fv = static_cast<float>(row[crgb]);
         uint32_t bits;
-        std::memcpy(&bits, &fv, 4);
+        if (frgb->type == 'F') {
+          // Packed-float convention: ascii prints the float whose BITS
+          // hold the color — rarely meaningful in ascii, but mirror the
+          // binary decode.
+          float fv = static_cast<float>(row[crgb]);
+          std::memcpy(&bits, &fv, 4);
+        } else {
+          // nanoPCL's convention (TYPE U): the packed integer itself.
+          bits = static_cast<uint32_t>(row[crgb]);
+        }
         out->rgb[i * 3 + 0] = (bits >> 16) & 0xFF;
         out->rgb[i * 3 + 1] = (bits >> 8) & 0xFF;
         out->rgb[i * 3 + 2] = bits & 0xFF;
       }
       if (ft) out->time[i] = static_cast<float>(row[ct]);
       if (fr) out->ring[i] = static_cast<int32_t>(row[cr]);
+      if (has_nrm) {
+        out->normal[i * 3 + 0] = static_cast<float>(row[cnx]);
+        out->normal[i * 3 + 1] = static_cast<float>(row[cny]);
+        out->normal[i * 3 + 2] = static_cast<float>(row[cnz]);
+      }
     }
   }
   out->n = n;
@@ -307,9 +347,14 @@ void fastdem_load_kitti(const char* path, CloudBuffers* out) {
   std::fclose(f);
 }
 
-// Binary PCD writer (x, y, z [, intensity] [, rgb]).
+// Binary PCD writer (x, y, z [, intensity] [, rgb] [, normal_xyz]).
+// rgb is written as TYPE U (nanoPCL's convention, io/pcd_io.hpp:440) —
+// identical bytes to the packed-float form in binary mode. `viewpoint`
+// (7 floats, tx ty tz qw qx qy qz) is preserved in the header; null
+// writes identity.
 int32_t fastdem_save_pcd(const char* path, int64_t n, const float* xyz,
-                         const float* intensity, const uint8_t* rgb) {
+                         const float* intensity, const uint8_t* rgb,
+                         const float* normal, const float* viewpoint) {
   FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
   std::string fields = "x y z";
@@ -327,17 +372,27 @@ int32_t fastdem_save_pcd(const char* path, int64_t n, const float* xyz,
   if (rgb) {
     fields += " rgb";
     sizes += " 4";
-    types += " F";
+    types += " U";
     counts += " 1";
     ++ncols;
   }
+  if (normal) {
+    fields += " normal_x normal_y normal_z";
+    sizes += " 4 4 4";
+    types += " F F F";
+    counts += " 1 1 1";
+    ncols += 3;
+  }
+  const float kIdentityVp[7] = {0.f, 0.f, 0.f, 1.f, 0.f, 0.f, 0.f};
+  const float* vp = viewpoint ? viewpoint : kIdentityVp;
   std::fprintf(f,
                "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
                "FIELDS %s\nSIZE %s\nTYPE %s\nCOUNT %s\n"
-               "WIDTH %lld\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS %lld\n"
-               "DATA binary\n",
+               "WIDTH %lld\nHEIGHT 1\nVIEWPOINT %g %g %g %g %g %g %g\n"
+               "POINTS %lld\nDATA binary\n",
                fields.c_str(), sizes.c_str(), types.c_str(), counts.c_str(),
-               static_cast<long long>(n), static_cast<long long>(n));
+               static_cast<long long>(n), vp[0], vp[1], vp[2], vp[3], vp[4],
+               vp[5], vp[6], static_cast<long long>(n));
   std::vector<float> rec(ncols);
   for (int64_t i = 0; i < n; ++i) {
     int c = 0;
@@ -352,6 +407,11 @@ int32_t fastdem_save_pcd(const char* path, int64_t n, const float* xyz,
       float fv;
       std::memcpy(&fv, &bits, 4);
       rec[c++] = fv;
+    }
+    if (normal) {
+      rec[c++] = normal[i * 3 + 0];
+      rec[c++] = normal[i * 3 + 1];
+      rec[c++] = normal[i * 3 + 2];
     }
     std::fwrite(rec.data(), sizeof(float), ncols, f);
   }

@@ -23,14 +23,17 @@
 #include <thread>
 #include <vector>
 
+// MUST match pcdio.cpp's CloudBuffers layout exactly (shared C ABI).
 struct CloudBuffers {
   float* xyz;
   float* intensity;
   uint8_t* rgb;
   float* time;
   int32_t* ring;
+  float* normal;
   int64_t n;
   int32_t error;
+  float viewpoint[7];
 };
 
 extern "C" {

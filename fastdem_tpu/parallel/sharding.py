@@ -127,9 +127,14 @@ def build_sharded_integrate(
         color = chans[-1] if has_color else None
         return raw(state, xyz, mask, T_bs, T_wb, intensity, color)
 
+    # out_shardings pins the carried state to the block sharding: without
+    # it GSPMD may resolve LOCAL mode's roll (collective permute) to a
+    # replicated output, which then mismatches in_shardings on the next
+    # call.
     jitted = jax.jit(
         fixed,
         in_shardings=(st_sh,) + (rep,) * (4 + n_chan),
+        out_shardings=(st_sh, None),
         donate_argnums=(0,) if donate else (),
     )
 
@@ -181,6 +186,7 @@ def build_sharded_integrate_sequence(
     jitted = jax.jit(
         fixed,
         in_shardings=(st_sh,) + (rep,) * (4 + n_chan),
+        out_shardings=st_sh,
         donate_argnums=(0,) if donate else (),
     )
 

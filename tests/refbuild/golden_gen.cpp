@@ -41,6 +41,8 @@
 #include <vector>
 
 #include <fastdem/fastdem.hpp>
+#include <fastdem/bridge/ros/impl.hpp>
+#include <nanopcl/bridge/ros/impl.hpp>
 #include <fastdem/io/npz.hpp>
 #include <fastdem/io/pcd_convert.hpp>
 #include <fastdem/io/png.hpp>
@@ -76,6 +78,100 @@ Eigen::Isometry3d isometry_from(const float* m) {
 }
 
 }  // namespace
+
+namespace pc2mock {
+
+// Minimal stand-ins for sensor_msgs types so the reference's templated
+// bridge code instantiates without a ROS installation.
+struct Field {
+  static constexpr uint8_t INT8 = 1, UINT8 = 2, INT16 = 3, UINT16 = 4,
+                           INT32 = 5, UINT32 = 6, FLOAT32 = 7, FLOAT64 = 8;
+  std::string name;
+  uint32_t offset = 0;
+  uint8_t datatype = FLOAT32;
+  uint32_t count = 1;
+};
+
+struct Msg {
+  struct Header {
+    uint64_t stamp = 0;
+    std::string frame_id;
+  } header;
+  uint32_t height = 0, width = 0;
+  std::vector<Field> fields;
+  bool is_bigendian = false;
+  uint32_t point_step = 0, row_step = 0;
+  std::vector<uint8_t> data;
+  bool is_dense = false;
+};
+
+// Container format shared with tests/test_reference_goldens.py:
+// "PC2G" u32 n_fields {u32 len, name, u32 offset, u32 datatype, u32 count}
+// u32 height width point_step row_step, u8 is_bigendian is_dense,
+// u64 data_len, data, u32 frame_len, frame_id
+inline void dump(const Msg& m, const std::string& path) {
+  std::ofstream f(path, std::ios::binary);
+  f.write("PC2G", 4);
+  auto w32 = [&](uint32_t v) { f.write(reinterpret_cast<char*>(&v), 4); };
+  auto w8 = [&](uint8_t v) { f.write(reinterpret_cast<char*>(&v), 1); };
+  w32(static_cast<uint32_t>(m.fields.size()));
+  for (const auto& fd : m.fields) {
+    w32(static_cast<uint32_t>(fd.name.size()));
+    f.write(fd.name.data(), static_cast<std::streamsize>(fd.name.size()));
+    w32(fd.offset);
+    w32(fd.datatype);
+    w32(fd.count);
+  }
+  w32(m.height);
+  w32(m.width);
+  w32(m.point_step);
+  w32(m.row_step);
+  w8(m.is_bigendian ? 1 : 0);
+  w8(m.is_dense ? 1 : 0);
+  uint64_t dl = m.data.size();
+  f.write(reinterpret_cast<char*>(&dl), 8);
+  f.write(reinterpret_cast<const char*>(m.data.data()),
+          static_cast<std::streamsize>(m.data.size()));
+  w32(static_cast<uint32_t>(m.header.frame_id.size()));
+  f.write(m.header.frame_id.data(),
+          static_cast<std::streamsize>(m.header.frame_id.size()));
+}
+
+inline bool load(const std::string& path, Msg& m) {
+  std::ifstream f(path, std::ios::binary);
+  char magic[4];
+  f.read(magic, 4);
+  if (!f || std::memcmp(magic, "PC2G", 4) != 0) return false;
+  auto r32 = [&]() { uint32_t v; f.read(reinterpret_cast<char*>(&v), 4); return v; };
+  auto r8 = [&]() { uint8_t v; f.read(reinterpret_cast<char*>(&v), 1); return v; };
+  uint32_t nf = r32();
+  m.fields.resize(nf);
+  for (auto& fd : m.fields) {
+    uint32_t len = r32();
+    fd.name.resize(len);
+    f.read(fd.name.data(), len);
+    fd.offset = r32();
+    fd.datatype = static_cast<uint8_t>(r32());
+    fd.count = r32();
+  }
+  m.height = r32();
+  m.width = r32();
+  m.point_step = r32();
+  m.row_step = r32();
+  m.is_bigendian = r8() != 0;
+  m.is_dense = r8() != 0;
+  uint64_t dl;
+  f.read(reinterpret_cast<char*>(&dl), 8);
+  m.data.resize(dl);
+  f.read(reinterpret_cast<char*>(m.data.data()),
+         static_cast<std::streamsize>(dl));
+  uint32_t fl = r32();
+  m.header.frame_id.resize(fl);
+  f.read(m.header.frame_id.data(), fl);
+  return static_cast<bool>(f);
+}
+
+}  // namespace pc2mock
 
 int main(int argc, char** argv) {
   if (argc < 10) {
@@ -187,17 +283,68 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (estimator == "pc2") {
+    // PointCloud2 byte golden: load an npz (written by fastdem_tpu), run
+    // the reference's map->PointCloud2 conversion
+    // (include/fastdem/bridge/ros/impl.hpp:28-174) with mock msg types,
+    // dump field table + data bytes for byte-level comparison with
+    // runtime/wire.map_to_pointcloud2.
+    fastdem::ElevationMap map;
+    if (!fastdem::io::loadNpz(scans_path, map)) {
+      std::cerr << "loadNpz failed\n";
+      return 5;
+    }
+    auto msg = fastdem::detail::toPointCloud2Impl<pc2mock::Msg,
+                                                  pc2mock::Field>(
+        map, static_cast<uint64_t>(0), "elevation");
+    pc2mock::dump(msg, out_path);
+    std::printf("golden(pc2): %u pts, %u fields, step %u\n", msg.width,
+                static_cast<uint32_t>(msg.fields.size()), msg.point_step);
+    return 0;
+  }
+
+  if (estimator == "pc2cloud") {
+    // Cloud codec golden: read a PointCloud2 dump produced by
+    // runtime/wire.cloud_to_pointcloud2, parse it with nanoPCL's reader
+    // (lib/nanoPCL/include/nanopcl/bridge/ros/impl.hpp from_impl), then
+    // re-emit with nanoPCL's writer (to_impl) — the Python side decodes
+    // the result and compares with the original cloud, validating both
+    // codec directions against the reference conventions.
+    pc2mock::Msg in;
+    if (!pc2mock::load(scans_path, in)) {
+      std::cerr << "pc2 container load failed\n";
+      return 5;
+    }
+    auto cloud =
+        nanopcl::detail::from_impl<pc2mock::Msg, pc2mock::Field>(in);
+    auto out = nanopcl::detail::to_impl<pc2mock::Msg, pc2mock::Field, uint64_t>(
+        cloud, in.header.frame_id, 0);
+    pc2mock::dump(out, out_path);
+    std::printf("golden(pc2cloud): %zu pts round-tripped\n", cloud.size());
+    return 0;
+  }
+
   if (estimator == "pcdload") {
     // PCD interop: parse a .pcd WRITTEN BY fastdem_tpu with nanoPCL's
     // reader (io/pcd_io.hpp) and write it back with nanoPCL's writer —
     // the Python side compares both against the original arrays.
-    auto cloud = nanopcl::io::loadPCD(scans_path);
+    nanopcl::io::PCDMetadata meta;
+    auto cloud = nanopcl::io::loadPCD(scans_path, meta);
     if (cloud.empty()) {
       std::cerr << "loadPCD returned empty\n";
       return 5;
     }
-    nanopcl::io::savePCD(out_path, cloud, nanopcl::io::PCDFormat::BINARY);
-    std::printf("golden(pcdload): %zu pts\n", cloud.size());
+    // Preserve the parsed VIEWPOINT through the re-save (PCDSaveOptions,
+    // io/pcd_io.hpp:60-64) so the Python side can verify metadata parity.
+    nanopcl::io::PCDSaveOptions opts;
+    opts.format = nanopcl::io::PCDFormat::BINARY;
+    opts.viewpoint = meta.viewpoint;
+    nanopcl::io::savePCD(out_path, cloud, opts);
+    const auto t = meta.viewpoint.translation();
+    const Eigen::Quaterniond q(meta.viewpoint.rotation());
+    std::printf("golden(pcdload): %zu pts viewpoint %g %g %g %g %g %g %g\n",
+                cloud.size(), t.x(), t.y(), t.z(), q.w(), q.x(), q.y(),
+                q.z());
     return 0;
   }
 

@@ -718,3 +718,196 @@ def test_postprocess_chain_matches_reference(golden_gen, tmp_path):
         smooth_median(out["elevation"], kernel_size=3, min_valid_neighbors=5)
     )
     assert_layer(sm_ref, sm_ours, "elevation_smoothed", 2e-6)
+
+
+# ---------------------------------------------------------------------------
+# PointCloud2 wire codec goldens (runtime/wire.py vs the reference bridge)
+# ---------------------------------------------------------------------------
+
+def _pc2_dump(msg) -> bytes:
+    """Serialize wire.PointCloud2 into golden_gen's PC2G container."""
+    out = bytearray(b"PC2G")
+    out += struct.pack("<I", len(msg.fields))
+    for f in msg.fields:
+        nb = f.name.encode()
+        out += struct.pack("<I", len(nb)) + nb
+        out += struct.pack("<III", f.offset, f.datatype, f.count)
+    out += struct.pack(
+        "<IIII", msg.height, msg.width, msg.point_step, msg.row_step
+    )
+    out += struct.pack(
+        "<BB", 1 if msg.is_bigendian else 0, 1 if msg.is_dense else 0
+    )
+    out += struct.pack("<Q", len(msg.data)) + msg.data
+    fb = msg.frame_id.encode()
+    out += struct.pack("<I", len(fb)) + fb
+    return bytes(out)
+
+
+def _pc2_load(raw: bytes):
+    from fastdem_tpu.runtime import wire
+
+    assert raw[:4] == b"PC2G"
+    off = 4
+
+    def r(fmt):
+        nonlocal off
+        vals = struct.unpack_from(fmt, raw, off)
+        off += struct.calcsize(fmt)
+        return vals
+
+    (nf,) = r("<I")
+    fields = []
+    for _ in range(nf):
+        (ln,) = r("<I")
+        name = raw[off : off + ln].decode()
+        off += ln
+        foff, dt, cnt = r("<III")
+        fields.append(wire.PointField(name, foff, dt, cnt))
+    h, w, ps, rs = r("<IIII")
+    be, dense = r("<BB")
+    (dl,) = r("<Q")
+    data = raw[off : off + dl]
+    off += dl
+    (fl,) = r("<I")
+    frame = raw[off : off + fl].decode()
+    return wire.PointCloud2(
+        frame_id=frame, stamp_ns=0, height=h, width=w, fields=fields,
+        is_bigendian=be != 0, point_step=ps, row_step=rs, data=data,
+        is_dense=dense != 0,
+    )
+
+
+def test_pointcloud2_map_bytes_match_reference(golden_gen, tmp_path):
+    """map -> PointCloud2: our encoder's field table and data buffer must
+    be BYTE-IDENTICAL to the reference's toPointCloud2Impl
+    (bridge/ros/impl.hpp:28-174) run on the same map (GLOBAL mode: start
+    index 0, so buffer order == world order on both sides)."""
+    from fastdem_tpu.io.npz import load_npz as _load
+    from fastdem_tpu.io.npz import save_npz
+    from fastdem_tpu.runtime import wire
+
+    xyz, T_bs, poses = make_stream(K=3)
+    geom, state = run_tpu(xyz, T_bs, poses, "kalman", 1, "global")
+    npz = tmp_path / "map.npz"
+    assert save_npz(str(npz), geom, state)
+
+    out = tmp_path / "ref_pc2.bin"
+    r = subprocess.run(
+        [golden_gen, str(npz), str(npz), str(out), "pc2", "0", "global",
+         "15", "15", "0.1"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    ref = _pc2_load(out.read_bytes())
+
+    # Encode from the npz-reloaded state (same layer order the reference
+    # loader saw — the zip member order).
+    geom2, state2, _ = _load(str(npz))
+    ours = wire.map_to_pointcloud2(geom2, state2)
+
+    assert [f.name for f in ours.fields] == [f.name for f in ref.fields]
+    assert [f.offset for f in ours.fields] == [f.offset for f in ref.fields]
+    assert [f.datatype for f in ours.fields] == [
+        f.datatype for f in ref.fields
+    ]
+    assert ours.point_step == ref.point_step
+    assert ours.width == ref.width
+    assert ours.data == ref.data  # byte-for-byte
+
+
+def test_pointcloud2_cloud_roundtrip_through_nanopcl(golden_gen, tmp_path):
+    """cloud -> PointCloud2 -> nanopcl::from -> nanopcl::to ->
+    PointCloud2 -> cloud: our encoder must be readable by nanoPCL's
+    reader, nanoPCL's writer output must be readable by our decoder, and
+    every channel must survive (bridge/ros/impl.hpp conventions)."""
+    from fastdem_tpu.cloud.pointcloud import from_numpy
+    from fastdem_tpu.runtime import wire
+
+    rng = np.random.default_rng(3)
+    n = 400
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    cloud = from_numpy(
+        xyz,
+        frame_id="lidar",
+        intensity=rng.uniform(0, 100, n).astype(np.float32),
+        ring=rng.integers(0, 16, n).astype(np.int32),
+        time=rng.uniform(0, 0.1, n).astype(np.float32),
+        color=rng.integers(0, 256, (n, 3)).astype(np.uint8),
+    )
+    ours = wire.cloud_to_pointcloud2(cloud)
+    inp = tmp_path / "cloud_pc2.bin"
+    inp.write_bytes(_pc2_dump(ours))
+    out = tmp_path / "cloud_pc2_back.bin"
+    r = subprocess.run(
+        [golden_gen, str(inp), str(inp), str(out), "pc2cloud", "0",
+         "global", "15", "15", "0.1"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    back_msg = _pc2_load(out.read_bytes())
+    # nanoPCL's writer produces the same field table as ours.
+    assert [f.name for f in back_msg.fields] == [
+        f.name for f in ours.fields
+    ]
+    assert [f.offset for f in back_msg.fields] == [
+        f.offset for f in ours.fields
+    ]
+    assert back_msg.point_step == ours.point_step
+    assert back_msg.data == ours.data  # lossless both directions
+
+    back = wire.pointcloud2_to_cloud(back_msg)
+    np.testing.assert_allclose(
+        np.asarray(back.xyz)[np.asarray(back.mask)], xyz, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back.channels["ring"]), np.asarray(cloud.channels["ring"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back.channels["color"]),
+        np.asarray(cloud.channels["color"]),
+    )
+
+
+def test_pcd_metadata_parity_through_nanopcl(golden_gen, tmp_path):
+    """VERDICT r1 #9: VIEWPOINT + normal channels round-trip bit-exactly
+    through nanoPCL's reader/writer (PCDMetadata / PCDSaveOptions,
+    io/pcd_io.hpp): our writer's viewpoint is parsed and preserved by the
+    reference, and its re-written file decodes identically here."""
+    from fastdem_tpu.cloud.pointcloud import from_numpy
+    from fastdem_tpu.io.pcd import load_pcd, save_pcd
+
+    rng = np.random.default_rng(8)
+    n = 2000
+    xyz = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    color = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+    vp = (1.25, -0.5, 2.0, 0.96891242, 0.0, 0.24740396, 0.0)
+    ours = tmp_path / "meta.pcd"
+    assert save_pcd(
+        str(ours),
+        from_numpy(xyz, normal=nrm, color=color),
+        viewpoint=vp,
+    )
+
+    out = tmp_path / "meta_back.pcd"
+    r = subprocess.run(
+        [golden_gen, str(ours), "/dev/null", str(out), "pcdload",
+         "0", "local", "15", "15", "0.1"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    # nanoPCL parsed our viewpoint (printed by the generator).
+    assert "viewpoint 1.25 -0.5 2" in r.stdout, r.stdout
+
+    back, meta = load_pcd(str(out), return_meta=True)
+    np.testing.assert_allclose(meta["viewpoint"], vp, atol=1e-6)
+    keep = np.asarray(back.mask)
+    np.testing.assert_array_equal(np.asarray(back.xyz)[keep], xyz)
+    np.testing.assert_array_equal(
+        np.asarray(back.channels["normal"])[keep][:, :3], nrm
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back.channels["color"])[keep], color
+    )

@@ -356,10 +356,53 @@ class TestDistributed:
         cfg.mapping.mode = MappingMode.GLOBAL
         mesh = sh.make_mesh(8)
         state = sh.shard_state(create_map_state(geom, cfg), mesh)
+        state = state.replace_layer(
+            layers.elevation,
+            jax.device_put(
+                jnp.arange(geom.num_cells, dtype=jnp.float32).reshape(
+                    geom.shape
+                ),
+                sh.map_sharding(mesh),
+            ),
+        )
         path = str(tmp_path / "sharded.npz")
         assert save_sharded_npz(path, geom, state)
         geom2, state2, _ = load_npz(path)
         assert geom2 == geom
+        np.testing.assert_array_equal(
+            np.asarray(state2.layers[layers.elevation]),
+            np.asarray(state.layers[layers.elevation]),
+        )
+
+    def test_sharded_checkpoint_streams_blocks(self, tmp_path):
+        """The streaming writer (col_block smaller than the map) must emit
+        byte-identical npz to the assemble-on-host writer."""
+        import jax
+
+        from fastdem_tpu.config.config import Config, MappingMode
+        from fastdem_tpu.io.npz import save_npz
+        from fastdem_tpu.mapping.pipeline import create_map_state
+        from fastdem_tpu.parallel import sharding as sh
+        from fastdem_tpu.parallel.distributed import save_sharded_npz
+
+        geom = GridGeometry.from_length(16.0, 16.0, 0.5)  # 32x32
+        cfg = Config()
+        cfg.mapping.mode = MappingMode.GLOBAL
+        mesh = sh.make_mesh(8)
+        rng = np.random.default_rng(11)
+        state = create_map_state(geom, cfg)
+        state = state.replace_layer(
+            layers.elevation,
+            jnp.asarray(rng.normal(size=geom.shape).astype(np.float32)),
+        )
+        sharded = sh.shard_state(state, mesh)
+        p_stream = str(tmp_path / "stream.npz")
+        p_host = str(tmp_path / "host.npz")
+        # 5 columns per block: forces 7 blocks incl. a ragged tail.
+        assert save_sharded_npz(p_stream, geom, sharded, col_block=5)
+        host_state = jax.tree.map(lambda a: np.asarray(a), state)
+        assert save_npz(p_host, geom, host_state)
+        assert open(p_stream, "rb").read() == open(p_host, "rb").read()
 
 
 class TestProfiling:
