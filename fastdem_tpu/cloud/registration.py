@@ -20,7 +20,18 @@ Variants:
   * ``gicp``           plane-to-plane Mahalanobis with per-point
                        covariances Omega = (C_q + R C_s R^T)^-1
   * ``vgicp``          GICP against per-voxel target Gaussian
-                       distributions (mean/cov by voxel, sort-based)
+                       distributions; correspondence = the voxel
+                       CONTAINING the transformed point (reference
+                       voxel_correspondence.hpp:61 lookupRegularized),
+                       found by searchsorted over the sorted voxel keys,
+                       with Segal-style covariance regularization
+                       (eigenvalues -> [eps, 1, 1],
+                       voxel_distribution_map.hpp regularizeCovariance).
+
+Optimizers: ``gn`` (Gauss-Newton, fixed tiny damping) and ``lm``
+(Levenberg-Marquardt with the reference's adaptive lambda schedule,
+optimizers/lm_optimizer.hpp:52-85 — inner accept/reject loop, lambda /=
+10 on improvement, *= 10 on failure).
 """
 
 from __future__ import annotations
@@ -111,14 +122,44 @@ def _nearest(source_T: jnp.ndarray, target: jnp.ndarray, target_mask):
 
 
 def _gn_step_factory(method: str, kernel: str, kernel_scale: float,
-                     max_dist: float):
-    """Builds the jitted single GN iteration for a method."""
+                     max_dist: float, corr: str = "nearest",
+                     voxel_size: float = 0.5):
+    """Builds the jitted single iteration (linearize + damped solve) and a
+    jitted error-only evaluation for a method.
 
-    def step(T, s_xyz, s_mask, t_xyz, t_mask, t_normals, s_cov, t_cov):
-        src = tfm.transform_points(s_xyz, T)
+    ``corr``: "nearest" (dense MXU 1-NN tile) or "voxel" (containing-voxel
+    searchsorted lookup against sorted voxel keys — the reference VGICP
+    correspondence, voxel_correspondence.hpp:55-70; no distance gate, the
+    voxel either contains the transformed point or there is no
+    correspondence)."""
+
+    def _correspond(src, s_mask, t_xyz, t_mask, vox_keys):
+        if corr == "voxel":
+            from fastdem_tpu.cloud.filters import voxel_coords
+
+            coords = voxel_coords(src, voxel_size)
+            B = 1024
+            key = (
+                (jnp.clip(coords[:, 0] + B // 2, 0, B - 1) * B
+                 + jnp.clip(coords[:, 1] + B // 2, 0, B - 1)) * B
+                + jnp.clip(coords[:, 2] + B // 2, 0, B - 1)
+            )
+            n = vox_keys.shape[0]
+            pos = jnp.clip(
+                jnp.searchsorted(vox_keys, key), 0, n - 1
+            ).astype(jnp.int32)
+            match = vox_keys[pos] == key
+            valid = s_mask & match & t_mask[pos]
+            return pos, valid
         idx, d2 = _nearest(src, t_xyz, t_mask)
-        q = t_xyz[idx]
         valid = s_mask & (d2 <= max_dist * max_dist) & jnp.isfinite(d2)
+        return idx, valid
+
+    def linearize(T, s_xyz, s_mask, t_xyz, t_mask, t_normals, s_cov, t_cov,
+                  vox_keys):
+        src = tfm.transform_points(s_xyz, T)
+        idx, valid = _correspond(src, s_mask, t_xyz, t_mask, vox_keys)
+        q = t_xyz[idx]
 
         e = src - q  # [N, 3]
         R = T[:3, :3]
@@ -159,13 +200,46 @@ def _gn_step_factory(method: str, kernel: str, kernel_scale: float,
             g = jnp.einsum("njk,nk,n->j", JO, e, w)
             err = jnp.sum(w * r2)
 
-        delta = _solve_gn(H, g)
-        T_new = tfm.se3_exp(delta) @ T
         n_corr = jnp.sum(valid)
         err = err / jnp.maximum(n_corr, 1)
+        return H, g, err, n_corr
+
+    def step(T, lam, s_xyz, s_mask, t_xyz, t_mask, t_normals, s_cov, t_cov,
+             vox_keys):
+        H, g, err, n_corr = linearize(
+            T, s_xyz, s_mask, t_xyz, t_mask, t_normals, s_cov, t_cov,
+            vox_keys,
+        )
+        delta = _solve_gn(H, g, damping=lam)
+        T_new = tfm.se3_exp(delta) @ T
         return T_new, delta, err, n_corr
 
-    return jax.jit(step)
+    def err_fn(T, s_xyz, s_mask, t_xyz, t_mask, t_normals, s_cov, t_cov,
+               vox_keys):
+        # Error-only evaluation (LM accept/reject); XLA dead-code-
+        # eliminates the H/g einsums.
+        _, _, err, n_corr = linearize(
+            T, s_xyz, s_mask, t_xyz, t_mask, t_normals, s_cov, t_cov,
+            vox_keys,
+        )
+        return err, n_corr
+
+    return jax.jit(step), jax.jit(err_fn)
+
+
+def segal_regularize(cov: jnp.ndarray, epsilon: float = 1e-3) -> jnp.ndarray:
+    """Plane-to-plane covariance regularization (Segal et al., RSS 2009):
+    eigenvalues replaced by [epsilon, 1, 1] (reference
+    voxel_distribution_map.hpp regularizeCovariance)."""
+    w, v = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    w_reg = jnp.concatenate(
+        [
+            jnp.full(w.shape[:-1] + (1,), epsilon, dtype=cov.dtype),
+            jnp.ones(w.shape[:-1] + (2,), dtype=cov.dtype),
+        ],
+        axis=-1,
+    )
+    return jnp.einsum("...ij,...j,...kj->...ik", v, w_reg, v)
 
 
 def voxel_distributions(
@@ -234,14 +308,29 @@ def align(
     kernel_scale: float = 1.0,
     knn_covariance: int = 10,
     voxel_size: float = 0.5,
+    optimizer: str = "gn",
+    init_lambda: float = 1e-3,
+    lambda_factor: float = 10.0,
+    max_inner_iterations: int = 10,
+    covariance_epsilon: float = 1e-3,
 ) -> RegistrationResult:
     """Align source to target (nanopcl::registration::align equivalent).
 
     Correspondences use a dense [Ns, Nt] distance tile per iteration
     (MXU-shaped, exact); memory is Ns*Nt*4 bytes, so voxel-downsample
-    inputs beyond ~30K points or use method="vgicp" (whose target is the
-    per-voxel distribution set, bounding Nt by the voxel count).
+    inputs beyond ~30K points or use method="vgicp", whose correspondence
+    is the voxel CONTAINING the transformed point (searchsorted over the
+    sorted voxel-key table; reference voxel_correspondence.hpp:61) with
+    Segal-regularized voxel covariances.
+
+    ``optimizer``: "gn" (Gauss-Newton, fixed tiny damping) or "lm"
+    (Levenberg-Marquardt with the reference's adaptive schedule,
+    optimizers/lm_optimizer.hpp:52-85: accept a trial step only if the
+    re-evaluated error drops — lambda /= lambda_factor on success, *=
+    on failure, up to ``max_inner_iterations`` trials per outer step).
     """
+    if optimizer not in ("gn", "lm"):
+        raise ValueError(f"unknown optimizer: {optimizer!r}")
     from fastdem_tpu.cloud import normals as nrm
 
     T = jnp.asarray(
@@ -264,39 +353,82 @@ def align(
             target = nrm.estimate_covariances(target, k=knn_covariance)
         s_cov = source.channels["covariance"]
         t_cov = target.channels["covariance"]
-    elif method == "vgicp":
+    corr = "nearest"
+    vox_keys = jnp.zeros(1, dtype=jnp.int32)
+    if method == "vgicp":
         if "covariance" not in source.channels:
             source = nrm.estimate_covariances(source, k=knn_covariance)
         s_cov = source.channels["covariance"]
-        _, vmean, vcov, vvalid = voxel_distributions(target, voxel_size)
-        # The voxel distribution cloud stands in as the target point set:
-        # correspondences go point -> nearest voxel mean.
+        vkeys, vmean, vcov, vvalid = voxel_distributions(target, voxel_size)
+        # Containing-voxel correspondence against the distribution table;
+        # covariances Segal-regularized like lookupRegularized.
         t_xyz = vmean
         t_mask = vvalid
-        t_cov = vcov
+        t_cov = jnp.where(
+            vvalid[:, None, None],
+            segal_regularize(vcov, covariance_epsilon),
+            jnp.eye(3, dtype=jnp.float32),
+        )
+        vox_keys = vkeys
+        corr = "voxel"
         method = "gicp"
 
-    step = _gn_step_factory(
-        method, kernel, kernel_scale, max_correspondence_distance
+    step, err_fn = _gn_step_factory(
+        method, kernel, kernel_scale, max_correspondence_distance,
+        corr=corr, voxel_size=voxel_size,
+    )
+    args = lambda: (  # noqa: E731
+        source.xyz, source.mask, t_xyz, t_mask, t_normals, s_cov, t_cov,
+        vox_keys,
     )
 
     converged = False
     err = float("inf")
     n_corr = 0
     it = 0
-    for it in range(1, max_iterations + 1):
-        T, delta, err_j, n_corr_j = step(
-            T, source.xyz, source.mask, t_xyz, t_mask, t_normals, s_cov, t_cov
-        )
-        delta = np.asarray(delta)
+    if optimizer == "gn":
+        lam = jnp.float32(1e-6)
+        for it in range(1, max_iterations + 1):
+            T, delta, err_j, n_corr_j = step(T, lam, *args())
+            delta = np.asarray(delta)
+            err = float(err_j)
+            n_corr = int(n_corr_j)
+            if (
+                np.linalg.norm(delta[:3]) < translation_eps
+                and np.linalg.norm(delta[3:]) < rotation_eps
+            ):
+                converged = True
+                break
+    else:  # adaptive LM
+        lam = float(init_lambda)
+        err_j, n_corr_j = err_fn(T, *args())
         err = float(err_j)
         n_corr = int(n_corr_j)
-        if (
-            np.linalg.norm(delta[:3]) < translation_eps
-            and np.linalg.norm(delta[3:]) < rotation_eps
-        ):
-            converged = True
-            break
+        for it in range(1, max_iterations + 1):
+            accepted = False
+            delta = np.zeros(6)
+            for _ in range(max_inner_iterations):
+                T_try, delta_j, _, _ = step(T, jnp.float32(lam), *args())
+                err_new_j, n_new_j = err_fn(T_try, *args())
+                err_new = float(err_new_j)
+                if err_new < err:
+                    lam = max(lam / lambda_factor, 1e-12)
+                    T = T_try
+                    err = err_new
+                    n_corr = int(n_new_j)
+                    delta = np.asarray(delta_j)
+                    accepted = True
+                    break
+                lam = min(lam * lambda_factor, 1e8)
+            if not accepted:
+                converged = True  # no improving step exists: local minimum
+                break
+            if (
+                np.linalg.norm(delta[:3]) < translation_eps
+                and np.linalg.norm(delta[3:]) < rotation_eps
+            ):
+                converged = True
+                break
 
     return RegistrationResult(
         T=np.asarray(T),

@@ -265,14 +265,21 @@ int main(int argc, char** argv) {
     }
     nanopcl::geometry::estimateCovariances(src, 10);
     nanopcl::geometry::estimateCovariances(tgt, 10);
-    for (const char* m : {"icp", "gicp"}) {
+    for (const char* m : {"icp", "gicp", "vgicp"}) {
       nanopcl::registration::AlignSettings st;
       st.max_iterations = 50;
       st.max_correspondence_dist = 1.0;
       const Eigen::Isometry3d init = Eigen::Isometry3d::Identity();
-      auto res = (std::string(m) == "icp")
-                     ? nanopcl::registration::alignICP(src, tgt, init, st)
-                     : nanopcl::registration::alignGICP(src, tgt, init, st);
+      // `res` as the VGICP voxel resolution (argv[9], meters).
+      auto run = [&]() {
+        if (std::string(m) == "icp")
+          return nanopcl::registration::alignICP(src, tgt, init, st);
+        if (std::string(m) == "gicp")
+          return nanopcl::registration::alignGICP(src, tgt, init, st);
+        return nanopcl::registration::alignVGICP(src, tgt, res, init, st);
+      };
+      auto res2 = run();
+      auto& res = res2;
       const Eigen::Matrix4d T = res.transform.matrix();
       std::printf("%s converged=%d fitness=%.4f T=", m, (int)res.converged,
                   res.fitness);
