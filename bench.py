@@ -128,7 +128,7 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="also run the other BASELINE.md configs")
     ap.add_argument("--scatter-mode", default="rows",
-                    choices=["packed", "twophase"],
+                    choices=["rows", "packed", "twophase", "sort"],
                     help="rasterizer formulation (A/B within one session)")
     ap.add_argument("--fused", action="store_true",
                     help="also measure the K-fused offline-replay program")

@@ -132,11 +132,21 @@ class RaycastingConfig:
     # (BENCH_NOTES.md parameter sensitivity) but saves ~0.1 ms/scan;
     # range bins per cell = 1 / range_bin_factor.
     num_azimuth_bins: int = 2048
-    range_bin_factor: float = 0.5
+    # r2 default 0.25 (4 range bins per cell): measured <5% of touched
+    # log-odds cells deviating from the reference DDA with ghost
+    # decisions exact (PARITY.md envelope); 0.5 is ~0.05 ms/scan faster
+    # at ~6% deviation (the fast preset uses it).
+    range_bin_factor: float = 0.25
     # Maximum ray range in meters; 0 = auto (derived from the point
     # filter's range_max, falling back to the map diagonal). Bounds the
     # polar field and enables the windowed resample on large global maps.
     max_range: float = 0.0
+    # TPU extension: ray-min-height formulation. "polar" (default; the
+    # fused fast path, <5% log-odds envelope vs the reference DDA) or
+    # "sampled" — per-ray segment sampling at dt <= res/sqrt(2), the
+    # exactness-first mode (every traversed cell sampled like the DDA;
+    # ~2 orders of magnitude more scatter elements, offline use).
+    method: str = "polar"
 
 
 @dataclasses.dataclass
@@ -286,6 +296,7 @@ def _parse(root: Mapping) -> Config:
         _load(n, "range_bin_factor", cfg.raycasting, "range_bin_factor")
         _load(n, "max_range", cfg.raycasting, "max_range")
         _load(n, "voxel_count_mode", cfg.raycasting, "voxel_count_mode", str)
+        _load(n, "method", cfg.raycasting, "method", str)
     n = root.get("sensor_model")
     if n:
         if n.get("type"):
@@ -356,12 +367,16 @@ def validate(cfg: Config) -> None:
             lambda v: v in ("exact", "span"), "exact",
         )
         warn_default(
+            "raycasting.method", rc, "method",
+            lambda v: v in ("polar", "sampled"), "polar",
+        )
+        warn_default(
             "raycasting.num_azimuth_bins", rc, "num_azimuth_bins",
             lambda v: 64 <= v <= 16384, 2048,
         )
         warn_default(
             "raycasting.range_bin_factor", rc, "range_bin_factor",
-            lambda v: 0.1 <= v <= 2.0, 0.5,
+            lambda v: 0.1 <= v <= 2.0, 0.25,
         )
         warn_default(
             "raycasting.max_range", rc, "max_range", lambda v: v >= 0, 0.0

@@ -361,7 +361,19 @@ def _build_phases(
         rider = None
         ray_window = None
         sensor_origin = T_ws[:3, 3]
-        if cfg.raycasting.enabled:
+        ray_sampled = None
+        if cfg.raycasting.enabled and cfg.raycasting.method == "sampled":
+            # Exactness-first mode: per-ray segment sampling at
+            # dt <= res/sqrt(2) — every traversed cell is sampled like
+            # the reference DDA. Two orders of magnitude more scatter
+            # elements than the polar path; offline use
+            # (raycasting.method config key).
+            origin_inside = geom.is_inside(position, sensor_origin[:2])
+            ray_sampled = raycast.ray_min_height_sampled(
+                geom, position, xyz_world, keep & origin_inside,
+                sensor_origin,
+            )
+        elif cfg.raycasting.enabled:
             origin_inside = geom.is_inside(position, sensor_origin[:2])
             extra = raycast.polar_scatter_spec(
                 geom, position, xyz_world, keep & origin_inside,
@@ -432,7 +444,9 @@ def _build_phases(
         # ---- Ray-field realization (the dense tail of the polar
         # raycast; fastdem.cpp:152-159 / src/raycasting.cpp:46-139) ----
         ray = None
-        if cfg.raycasting.enabled:
+        if ray_sampled is not None:
+            ray = ray_sampled
+        elif cfg.raycasting.enabled:
             # Observed-evidence multiplicity comes from the rasterizer's
             # distinct-z-voxel counts (the reference voxel-downsamples the
             # scan first, src/fastdem.cpp:156-158); the polar reducer takes

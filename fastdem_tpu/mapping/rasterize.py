@@ -682,45 +682,39 @@ def rasterize_scatter_rows(
         extra_f32 = jnp.where(et == _IMAX, _INF, _i32_ordered_f32(et))
 
     # ---- Argmin-carried channels: variance [+ color] of the min point.
-    # int32-fused gather (GSPMD zero-fill + SUM combining is exact in
-    # int32; see rasterize_scatter_packed). Cell path when the map is
-    # small relative to the scan, per-point path otherwise.
+    # int32 gathers (GSPMD zero-fill + SUM combining is exact in int32;
+    # see rasterize_scatter_packed). Cell path when the map is small
+    # relative to the scan, per-point path otherwise. Gathers run SPLIT,
+    # not concat-fused: per-index serialization means a fused gather saves
+    # nothing, while the concat materializes the (big) rider field buffer
+    # every step — split measured 0.586 vs fused 0.697 ms at 45K indices
+    # (tools/bench_rowops3.py).
     _i32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
     _f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)  # noqa: E731
     if ncell <= 2 * n:
-        bufs = [_i32(z_var)]
-        gidx = [amin]
         if color_packed is not None:
-            bufs.append(_i32(color_packed))
-            gidx.append(amin + n)
-        off = len(bufs) * n
+            # One row gather carries both argmin channels.
+            rowbuf = jnp.stack([_i32(z_var), _i32(color_packed)], axis=1)
+            g2 = rowbuf[amin]
+            min_z_var = _f32(g2[:, 0])
+            color = jnp.where(
+                touched, _f32(g2[:, 1]), jnp.nan
+            ).reshape(shape)
+        else:
+            min_z_var = _f32(_i32(z_var)[amin])
+            color = None
         if phase_gather_rider is not None:
             rider_buf, rider_idx = phase_gather_rider(extra_f32)
-            bufs.append(_i32(rider_buf))
-            gidx.append(rider_idx + off)
-        g = jnp.concatenate(bufs)[jnp.concatenate(gidx)]
-        min_z_var = _f32(g[:ncell])
-        pos = ncell
-        color = None
-        if color_packed is not None:
-            color = jnp.where(
-                touched, _f32(g[pos : pos + ncell]), jnp.nan
-            ).reshape(shape)
-            pos += ncell
-        extra = (
-            _f32(g[pos:]) if phase_gather_rider is not None else extra_f32
-        )
+            extra = _f32(_i32(rider_buf)[rider_idx])
+        else:
+            extra = extra_f32
     else:
         gather_ids = jnp.minimum(ids, ncell - 1)
+        amin_at_pt = amin[gather_ids]
         if phase_gather_rider is not None:
             rider_buf, rider_idx = phase_gather_rider(extra_f32)
-            g = jnp.concatenate([amin, _i32(rider_buf)])[
-                jnp.concatenate([gather_ids, rider_idx + ncell])
-            ]
-            amin_at_pt = g[:n]
-            extra = _f32(g[n:])
+            extra = _f32(_i32(rider_buf)[rider_idx])
         else:
-            amin_at_pt = amin[gather_ids]
             extra = extra_f32
         at_min = valid & (amin_at_pt == iota)
         lanes2 = [jnp.where(at_min, _f32_ordered_i32(z_var), _IMAX)]

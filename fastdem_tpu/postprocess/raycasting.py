@@ -57,6 +57,15 @@ from fastdem_tpu.grid.gridmap import GridMapState, layers
 
 _INF = jnp.inf
 
+# Azimuth half-width factor for a cell's angular footprint: half_w =
+# atan2(AZ_HALF_WIDTH * res, d). 0.5 = inscribed width (may miss corner
+# crossings), 0.707 = circumscribed (counts rays that miss the cell).
+# 0.5 measured closest to the reference DDA's crossing set (envelope
+# diag: over-ghosting from >0.5 factors dominates the log-odds
+# deviation); resample_indices and _column_windows MUST use the same
+# value (the exact_window fold relies on it).
+AZ_HALF_WIDTH = 0.5
+
 
 def layer_fills() -> Dict[str, float]:
     """Raycasting layers (postprocess/raycasting.hpp:26-30); created at init
@@ -217,12 +226,26 @@ def polar_smeared_field(
     h_polar = jnp.where(
         jnp.isfinite(ms), sensor_origin[2] + ms * d_r, _INF
     )
-    # A grid cell spans ~2 range bins; folding a 2-bin windowed min into
-    # the field here (dense, free) lets the per-cell lookup use a single
-    # range gather while still seeing rays that die anywhere inside the
-    # cell — matching the DDA's min-over-in-cell-heights semantics.
-    h_prev1 = jnp.concatenate([h_polar[:1, :], h_polar[:-1, :]], axis=0)
-    h_polar = jnp.minimum(h_polar, h_prev1)
+    # A grid cell spans ceil(res/dr) range bins; folding that windowed min
+    # into the field here (dense, free) lets the per-cell lookup use a
+    # single range gather while still seeing rays that die anywhere inside
+    # the cell — matching the DDA's min-over-in-cell-heights semantics.
+    # (Was hardcoded to 2 bins, silently losing in-cell coverage for
+    # range_bin_factor < 0.5.)
+    nfold = max(1, int(math.ceil(1.0 / range_bin_factor)))
+
+    def _shift_down(a, k):
+        return jnp.concatenate([a[:1].repeat(k, axis=0), a[:-k], ], axis=0) \
+            if k > 0 else a
+
+    p = 1
+    acc = h_polar
+    while 2 * p <= nfold:
+        acc = jnp.minimum(acc, _shift_down(acc, p))
+        p *= 2
+    if nfold - p > 0:
+        acc = jnp.minimum(acc, _shift_down(acc, nfold - p))
+    h_polar = acc
 
     # Azimuth-smear the field with per-range-column windows.
     # A cell at distance d spans an azimuth window w(d) that depends (for a
@@ -313,7 +336,9 @@ def resample_indices(
     # Per-cell window/level: the SAME formulas as the static column
     # tables, evaluated elementwise (no gather needed to recover them).
     d_cell = r_idx.astype(jnp.float32) * dr
-    half_w = jnp.arctan2(geom.resolution * 0.6, jnp.maximum(d_cell, 1e-6))
+    half_w = jnp.arctan2(
+        geom.resolution * AZ_HALF_WIDTH, jnp.maximum(d_cell, 1e-6)
+    )
     w_bins = jnp.clip(
         jnp.ceil(half_w / (2 * jnp.pi / A) * 2.0).astype(jnp.int32) + 1,
         1,
@@ -341,7 +366,9 @@ def _column_windows(
     level = floor(log2(w)) and shift = w - 2^level (the sparse-table
     residual; see polar_smeared_field's exact_window fold)."""
     d = np.arange(R, dtype=np.float32) * dr
-    half_w = np.arctan2(geom.resolution * 0.6, np.maximum(d, 1e-6))
+    half_w = np.arctan2(
+        geom.resolution * AZ_HALF_WIDTH, np.maximum(d, 1e-6)
+    )
     w = np.clip(
         np.ceil(half_w / (2 * np.pi / A) * 2.0).astype(np.int32) + 1,
         1, A // 2,

@@ -54,6 +54,7 @@ class MappingDriver:
         async_intake: bool = False,
         burst_batch: int = 8,
         max_queue: int = 64,
+        stage_ahead: bool = True,
         **mapper_kwargs,
     ):
         import jax
@@ -92,6 +93,10 @@ class MappingDriver:
         self.async_intake = async_intake
         self.burst_batch = max(1, burst_batch)
         self.max_queue = max(1, max_queue)
+        # Double buffering: while a burst integrates, the next queued
+        # scans' H2D transfers are started (pointcloud.stage), so the
+        # copy rides under device compute instead of serializing with it.
+        self.stage_ahead = stage_ahead
         self.dropped_scans = 0
         self._queue: list = []
         self._inflight = 0
@@ -147,6 +152,20 @@ class MappingDriver:
                 items = self._queue[: self.burst_batch]
                 del self._queue[: len(items)]
                 self._inflight = len(items)
+                if self.stage_ahead:
+                    # Kick off H2D for the NEXT burst while this one
+                    # computes (transfers are async; replacing in place
+                    # keeps drop-oldest semantics intact).
+                    from fastdem_tpu.cloud.pointcloud import stage
+
+                    for i in range(
+                        min(len(self._queue), self.burst_batch)
+                    ):
+                        c, tbs, twb = self._queue[i]
+                        try:
+                            self._queue[i] = (stage(c), tbs, twb)
+                        except Exception:  # noqa: BLE001
+                            break
             try:
                 if len(items) == 1:
                     self._integrate_one(*items[0])
@@ -352,6 +371,27 @@ class MappingDriver:
                 },
             }
         self._publish("map", payload)
+        # Wire-format topics (real message encodings; see runtime/wire.py)
+        # are produced only when a sink subscribes — like the reference's
+        # subscriber-count gating (fastdem_ros_node.cpp:235-296).
+        if "pointcloud2" in self.sinks:
+            from fastdem_tpu.runtime import wire
+
+            self._publish(
+                "pointcloud2",
+                wire.map_to_pointcloud2(
+                    self.geom, state, frame_id=self.mapper.frame_id
+                ),
+            )
+        if "gridmap_msg" in self.sinks:
+            from fastdem_tpu.runtime import wire
+
+            self._publish(
+                "gridmap_msg",
+                wire.map_to_gridmap_msg(
+                    self.geom, state, frame_id=self.mapper.frame_id
+                ),
+            )
         if self.artifact_dir:
             from fastdem_tpu.io.npz import save_npz
 
@@ -362,7 +402,7 @@ class MappingDriver:
                 frame_id=self.mapper.frame_id,
             )
 
-    def _publish(self, topic: str, payload: dict):
+    def _publish(self, topic: str, payload):
         sink = self.sinks.get(topic)
         if sink is not None:
             try:

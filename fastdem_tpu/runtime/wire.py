@@ -387,3 +387,126 @@ def map_to_gridmap_msg(
         "outer_start_index": 0,
         "inner_start_index": 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# PCL point-record layouts (nanoPCL bridge/pcl.hpp equivalent)
+# ---------------------------------------------------------------------------
+
+# pcl::PointXYZ* memory layouts: 16-byte-aligned SSE records — xyz + 1
+# padding float, then per-type extras. These structured dtypes are binary-
+# compatible with pcl::PointCloud<T>::points buffers, so robot stacks can
+# memcpy either way (nanopcl bridge/pcl.hpp supports the same type set).
+PCL_DTYPES: Dict[str, np.dtype] = {
+    "PointXYZ": np.dtype(
+        {"names": ["x", "y", "z"],
+         "formats": [np.float32] * 3,
+         "offsets": [0, 4, 8], "itemsize": 16}
+    ),
+    "PointXYZI": np.dtype(
+        {"names": ["x", "y", "z", "intensity"],
+         "formats": [np.float32] * 4,
+         "offsets": [0, 4, 8, 16], "itemsize": 32}
+    ),
+    "PointXYZL": np.dtype(
+        {"names": ["x", "y", "z", "label"],
+         "formats": [np.float32] * 3 + [np.uint32],
+         "offsets": [0, 4, 8, 16], "itemsize": 32}
+    ),
+    "PointXYZRGB": np.dtype(
+        {"names": ["x", "y", "z", "rgb"],
+         "formats": [np.float32] * 4,
+         "offsets": [0, 4, 8, 16], "itemsize": 32}
+    ),
+    "PointXYZRGBA": np.dtype(
+        {"names": ["x", "y", "z", "rgba"],
+         "formats": [np.float32] * 3 + [np.uint32],
+         "offsets": [0, 4, 8, 16], "itemsize": 32}
+    ),
+    "PointNormal": np.dtype(
+        {"names": ["x", "y", "z", "normal_x", "normal_y", "normal_z",
+                   "curvature"],
+         "formats": [np.float32] * 7,
+         "offsets": [0, 4, 8, 16, 20, 24, 32], "itemsize": 48}
+    ),
+    "PointXYZINormal": np.dtype(
+        {"names": ["x", "y", "z", "normal_x", "normal_y", "normal_z",
+                   "intensity", "curvature"],
+         "formats": [np.float32] * 8,
+         "offsets": [0, 4, 8, 16, 20, 24, 32, 36], "itemsize": 48}
+    ),
+    "PointXYZRGBNormal": np.dtype(
+        {"names": ["x", "y", "z", "normal_x", "normal_y", "normal_z",
+                   "rgb", "curvature"],
+         "formats": [np.float32] * 8,
+         "offsets": [0, 4, 8, 16, 20, 24, 32, 36], "itemsize": 48}
+    ),
+}
+
+
+def cloud_to_pcl(cloud, point_type: str = "PointXYZ") -> np.ndarray:
+    """Cloud -> a numpy structured array binary-compatible with
+    pcl::PointCloud<point_type>::points (nanopcl::to<T>, bridge/pcl.hpp).
+    Masked points are compacted out; missing channels fill with zeros."""
+    from fastdem_tpu.utils.colors import pack_rgb
+
+    if point_type not in PCL_DTYPES:
+        raise ValueError(f"unsupported PCL point type: {point_type!r}")
+    dt = PCL_DTYPES[point_type]
+    m = np.asarray(cloud.mask)
+    xyz = np.asarray(cloud.xyz)[m]
+    rec = np.zeros(xyz.shape[0], dtype=dt)
+    rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    names = set(dt.names)
+    if "intensity" in names and cloud.has("intensity"):
+        rec["intensity"] = np.asarray(cloud.channels["intensity"])[m]
+    if "label" in names and cloud.has("label"):
+        rec["label"] = np.asarray(cloud.channels["label"])[m].astype(
+            np.uint32
+        )
+    if ("rgb" in names or "rgba" in names) and cloud.has("color"):
+        packed = np.asarray(pack_rgb(cloud.channels["color"]))[m]
+        if "rgb" in names:
+            rec["rgb"] = packed.astype(np.float32)
+        else:
+            bits = packed.view(np.uint32) | np.uint32(0xFF000000)
+            rec["rgba"] = bits
+    if "normal_x" in names and cloud.has("normal"):
+        nrm = np.asarray(cloud.channels["normal"])[m]
+        rec["normal_x"], rec["normal_y"], rec["normal_z"] = (
+            nrm[:, 0], nrm[:, 1], nrm[:, 2],
+        )
+    return rec
+
+
+def pcl_to_cloud(rec: np.ndarray, frame_id: str = ""):
+    """Inverse of cloud_to_pcl: accepts any structured array with x/y/z
+    (+ intensity / label / rgb|rgba / normal_* fields) — nanopcl::from
+    for PCL buffers."""
+    from fastdem_tpu.cloud.pointcloud import from_numpy
+    from fastdem_tpu.utils.colors import unpack_rgb
+
+    names = set(rec.dtype.names or ())
+    if not {"x", "y", "z"} <= names:
+        raise ValueError("PCL record missing x/y/z")
+    xyz = np.column_stack([rec["x"], rec["y"], rec["z"]]).astype(np.float32)
+    channels: Dict[str, np.ndarray] = {}
+    if "intensity" in names:
+        channels["intensity"] = rec["intensity"].astype(np.float32)
+    if "label" in names:
+        channels["label"] = rec["label"].astype(np.int32)
+    if "rgb" in names:
+        channels["color"] = np.asarray(
+            unpack_rgb(np.ascontiguousarray(rec["rgb"].astype(np.float32)))
+        )
+    elif "rgba" in names:
+        packed = (rec["rgba"] & np.uint32(0x00FFFFFF)).view(np.uint32)
+        channels["color"] = np.asarray(
+            unpack_rgb(np.ascontiguousarray(packed).view(np.float32))
+        )
+    if {"normal_x", "normal_y", "normal_z"} <= names:
+        channels["normal"] = np.column_stack(
+            [rec["normal_x"], rec["normal_y"], rec["normal_z"]]
+        ).astype(np.float32)
+    cloud = from_numpy(xyz, **channels)
+    return cloud.with_frame(frame_id)

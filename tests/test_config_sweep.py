@@ -14,7 +14,12 @@ import numpy as np
 import pytest
 
 from fastdem_tpu import Config, GridGeometry
-from fastdem_tpu.config.config import EstimationType, MappingMode, SensorType
+from fastdem_tpu.config.config import (
+    EstimationType,
+    MappingMode,
+    SensorType,
+    parse_config,
+)
 from fastdem_tpu.grid.gridmap import layers
 from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
 
@@ -87,7 +92,7 @@ def test_ray_field_resolution_config_keys(rng):
                         "range_bin_factor": 99.0}}
     )
     assert bad.raycasting.num_azimuth_bins == 2048
-    assert bad.raycasting.range_bin_factor == 0.5
+    assert bad.raycasting.range_bin_factor == 0.25  # r2 accuracy default
 
     geom = GridGeometry.from_length(8.0, 8.0, 0.25)
     step = build_integrate(geom, cfg, donate=False)
@@ -140,3 +145,40 @@ def test_pipeline_traces_all_kernel_modes(
         jnp.eye(4).at[2, 3].set(0.8), jnp.eye(4),
     )
     assert np.isfinite(np.asarray(state.layers[layers.elevation])).sum() > 50
+
+
+def test_raycast_sampled_method(rng):
+    """raycasting.method="sampled" (exactness-first per-ray sampling)
+    traces, runs, and produces a ray layer comparable to the polar path."""
+    geom = GridGeometry.from_length(8.0, 8.0, 0.25)
+    states = {}
+    for method in ("polar", "sampled"):
+        cfg = Config()
+        cfg.raycasting.enabled = True
+        cfg.raycasting.method = method
+        step = build_integrate(geom, cfg, donate=False)
+        state = create_map_state(geom, cfg)
+        xyz = jnp.asarray(_scan(rng))
+        state, _ = step(
+            state, xyz, jnp.ones(xyz.shape[0], bool),
+            jnp.eye(4).at[2, 3].set(1.0), jnp.eye(4),
+        )
+        states[method] = state
+    a = np.asarray(states["polar"].layers["raycasting"])
+    b = np.asarray(states["sampled"].layers["raycasting"])
+    both = np.isfinite(a) & np.isfinite(b)
+    assert both.sum() > 50
+    assert np.percentile(np.abs(a[both] - b[both]), 90) < 0.2
+
+
+def test_raycast_method_yaml_key():
+    from fastdem_tpu.config.config import validate
+
+    cfg = parse_config({"raycasting": {"enabled": True, "method": "sampled"}})
+    validate(cfg)
+    assert cfg.raycasting.method == "sampled"
+    cfg2 = parse_config(
+        {"raycasting": {"enabled": True, "method": "bogus"}}
+    )
+    validate(cfg2)
+    assert cfg2.raycasting.method == "polar"  # warn-and-clamp

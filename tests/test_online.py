@@ -456,3 +456,36 @@ class TestGlobalTimer:
                 time.sleep(0.05)
         assert got
         assert got[0]["elevation"].shape == (20, 20)
+
+
+class TestWireSinks:
+    def test_pointcloud2_sink_emits_real_message(self):
+        """Subscribing a 'pointcloud2' sink yields a real
+        sensor_msgs/PointCloud2 encoding from the viz loop (wire codecs,
+        runtime/wire.py) — subscriber-gated like the reference topics."""
+        import jax.numpy as jnp
+
+        from fastdem_tpu import Config, GridGeometry
+        from fastdem_tpu.runtime.driver import MappingDriver
+        from fastdem_tpu.runtime.wire import PointCloud2
+
+        geom = GridGeometry.from_length(4.0, 4.0, 0.5)
+        drv = MappingDriver(geom, Config(), viz_rate=0.0)
+        got = []
+        drv.sinks["pointcloud2"] = got.append
+        rng = np.random.default_rng(0)
+        n = 200
+        xyz = np.column_stack(
+            [rng.uniform(-1.5, 1.5, (n, 2)), rng.normal(-0.5, 0.05, (n, 1))]
+        ).astype(np.float32)
+        from fastdem_tpu.cloud.pointcloud import from_numpy
+
+        assert drv.on_scan(from_numpy(xyz), np.eye(4), np.eye(4))
+        drv._viz_loop()
+        drv.close()
+        assert len(got) == 1
+        msg = got[0]
+        assert isinstance(msg, PointCloud2)
+        assert msg.width > 0
+        assert [f.name for f in msg.fields][:3] == ["x", "y", "z"]
+        assert len(msg.data) == msg.width * msg.point_step

@@ -190,9 +190,13 @@ class TestRaycasting:
         geom, cfg, state = self.make()
         # Phantom obstacle at (2, 0), height 1.0; rays pass near the ground
         # beneath it toward a far point.
-        state, (r, c) = self.put_elev(geom, state, [2.0, 0.0], 1.0)
+        # Scene sits off the y=0 gridline (a ray exactly along a cell
+        # boundary is a knife-edge crossing; the DDA's side choice there
+        # is arbitrary): obstacle cell centered (1.95, -0.05), ray
+        # through it toward (4, -0.1).
+        state, (r, c) = self.put_elev(geom, state, [1.95, -0.05], 1.0)
         origin = jnp.array([0.0, 0.0, 0.5])
-        target = jnp.array([[4.0, 0.0, 0.0]])  # ray passes (2,0) at z~0.25
+        target = jnp.array([[4.0, -0.1, 0.0]])  # passes the cell at z~0.26
         mask = jnp.ones(1, dtype=bool)
         rc = cfg.raycasting
         # log_odds_ghost=0.2, clear at < -1.0: needs several scans.
@@ -203,9 +207,9 @@ class TestRaycasting:
 
     def test_single_pass_does_not_clear(self):
         geom, cfg, state = self.make()
-        state, (r, c) = self.put_elev(geom, state, [2.0, 0.0], 1.0)
+        state, (r, c) = self.put_elev(geom, state, [1.95, -0.05], 1.0)
         origin = jnp.array([0.0, 0.0, 0.5])
-        target = jnp.array([[4.0, 0.0, 0.0]])
+        target = jnp.array([[4.0, -0.1, 0.0]])
         state = apply_raycasting(
             geom, state, target, jnp.ones(1, bool), origin, cfg.raycasting
         )
@@ -215,9 +219,9 @@ class TestRaycasting:
         # A cell that keeps receiving points accumulates +log_odds_observed
         # faster than ghosts decay it (test_postprocess.cpp:117).
         geom, cfg, state = self.make()
-        state, (r, c) = self.put_elev(geom, state, [2.0, 0.0], 1.0)
+        state, (r, c) = self.put_elev(geom, state, [1.95, -0.05], 1.0)
         origin = jnp.array([0.0, 0.0, 0.5])
-        pts = jnp.array([[2.0, 0.0, 1.0], [4.0, 0.0, 0.0]])
+        pts = jnp.array([[1.95, -0.05, 1.0], [4.0, -0.1, 0.0]])
         mask = jnp.ones(2, dtype=bool)
         for _ in range(20):
             state = apply_raycasting(
@@ -287,14 +291,17 @@ class TestWindowedRaycast:
         T_bs[2, 3] = 0.5
 
         # Seed a phantom obstacle at (2, 0) height 1.0.
-        r, c, _ = geom.index_of(m.state.position, jnp.asarray([2.0, 0.0]))
+        r, c, _ = geom.index_of(
+            m.state.position, jnp.asarray([1.875, -0.125])
+        )
         r, c = int(r), int(c)
         m.state = m.state.replace_layer(
             layers.elevation, m.state.layers[layers.elevation].at[r, c].set(1.0)
         )
-        # Rays to a far point pass under the phantom each scan.
+        # Rays to a far point pass under the phantom each scan (scene off
+        # the y=0 gridline — cell-boundary rays are knife-edge crossings).
         target = pcm.from_numpy(
-            np.array([[6.0, 0.0, -0.5]], dtype=np.float32)
+            np.array([[6.0, -0.4, -0.5]], dtype=np.float32)
         )
         for _ in range(12):
             assert m.integrate(target, T_bs, I4)

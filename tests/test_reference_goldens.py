@@ -267,12 +267,15 @@ def test_raycast_matches_reference_within_envelope(golden_gen, tmp_path):
             assert nan_mis <= ncell * 0.02, name
             both = np.isfinite(a) & np.isfinite(b)
             p99 = float(np.percentile(np.abs(a[both] - b[both]), 99))
-            assert p99 < 0.15, f"raycasting p99 {p99}"
+            assert p99 < 0.12, f"raycasting p99 {p99}"
         elif name == "_visibility_logodds":
             both = np.isfinite(a) & np.isfinite(b)
             diff = np.abs(a[both] - b[both])
-            # quantized evidence: allow a few quanta on a small fraction
-            assert (diff > 1e-5).mean() < 0.25, name
+            # quantized evidence steps on a small fraction of cells (r2
+            # acceptance: <5% at the accuracy defaults, was <25% in r1;
+            # residual = the documented all-rays refinement + bin-level
+            # ray selection)
+            assert (diff > 1e-5).mean() < 0.05, name
             assert float(diff.max()) <= 1.0, name
         elif name == "ghost_removal":
             np.testing.assert_array_equal(np.isnan(a), np.isnan(b),
@@ -918,3 +921,98 @@ def test_pcd_metadata_parity_through_nanopcl(golden_gen, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(back.channels["color"])[keep], color
     )
+
+
+def _logodds_envelope(sref, state, max_frac=0.05, ray_p99=0.15):
+    """Shared assertions for raycast parity scenes: ghost decisions EXACT,
+    log-odds deviating on < max_frac of touched cells, ray-height p99
+    bounded (VERDICT r1 #2 acceptance: <5% + exact ghosts on adversarial
+    scenes)."""
+    a = np.asarray(sref.layers["ghost_removal"])
+    b = np.asarray(state.layers["ghost_removal"])
+    np.testing.assert_array_equal(
+        np.isnan(a), np.isnan(b), err_msg="ghost decisions differ"
+    )
+    lo_a = np.asarray(sref.layers["_visibility_logodds"])
+    lo_b = np.asarray(state.layers["_visibility_logodds"])
+    both = np.isfinite(lo_a) & np.isfinite(lo_b)
+    frac = float((np.abs(lo_a[both] - lo_b[both]) > 1e-5).mean())
+    assert frac < max_frac, f"log-odds deviate on {frac:.3f} of cells"
+    ra = np.asarray(sref.layers["raycasting"])
+    rb = np.asarray(state.layers["raycasting"])
+    rboth = np.isfinite(ra) & np.isfinite(rb)
+    p99 = float(np.percentile(np.abs(ra[rboth] - rb[rboth]), 99))
+    assert p99 < ray_p99, f"ray-height p99 {p99}"
+    return frac, p99
+
+
+def _adversarial_scene(kind, rng):
+    """Scan streams stressing the polar raycast where DDA quantization
+    hurts most (VERDICT r1 #2): thin floating obstacles cleared by
+    under-passing rays, grazing incidence from a low sensor, and a sensor
+    near the map edge."""
+    K, N = 6, 8000
+    if kind == "thin_obstacle":
+        # Frame 0 paints a floating plate at z=-0.1 over x in [2, 3]; the
+        # remaining frames see only ground at rad 3.0-4.3 whose rays (from
+        # the z=+1 sensor) pass BELOW the plate through its airspace ->
+        # repeated -L_ghost must clear it (0.4 observed - 0.2/frame needs
+        # ~8 conflict frames to cross clear_threshold -1.0).
+        K = 12
+        xyz = np.zeros((K, N, 3), np.float32)
+        ang = rng.uniform(-0.18, 0.18, (K, N))
+        rad = rng.uniform(3.0, 4.3, (K, N))
+        xyz[..., 0] = rad * np.cos(ang)
+        xyz[..., 1] = rad * np.sin(ang)
+        xyz[..., 2] = -1.0 + rng.normal(0, 0.01, (K, N))
+        plate = slice(0, N // 3)
+        xyz[0, plate, 0] = rng.uniform(2.0, 3.0, N // 3)
+        xyz[0, plate, 1] = rng.uniform(-0.4, 0.4, N // 3)
+        xyz[0, plate, 2] = -0.1 + rng.normal(0, 0.005, N // 3)
+        T_bs = np.eye(4, dtype=np.float32)
+        T_bs[2, 3] = 1.0
+        poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        return xyz.astype(np.float32), T_bs, poses, "local"
+    if kind == "grazing":
+        # Low sensor (0.3 m): shallow downward rays across the whole map.
+        ang = rng.uniform(0, 2 * np.pi, (K, N))
+        rad = rng.uniform(1.0, 7.0, (K, N))
+        x = rad * np.cos(ang)
+        y = rad * np.sin(ang)
+        z = -0.3 + rng.normal(0, 0.01, (K, N))
+        xyz = np.stack([x, y, z], -1).astype(np.float32)
+        T_bs = np.eye(4, dtype=np.float32)
+        T_bs[2, 3] = 0.3
+        poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        return xyz, T_bs, poses, "local"
+    # sensor near the map edge (GLOBAL, robot at the corner region)
+    ang = rng.uniform(np.pi * 0.9, np.pi * 1.6, (K, N))  # into the map
+    rad = rng.uniform(0.5, 7.0, (K, N))
+    x = rad * np.cos(ang)
+    y = rad * np.sin(ang)
+    z = -1.0 + 0.1 * np.sin(2 * x) + rng.normal(0, 0.01, (K, N))
+    xyz = np.stack([x, y, z], -1).astype(np.float32)
+    T_bs = np.eye(4, dtype=np.float32)
+    T_bs[2, 3] = 1.0
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[:, 0, 3] = 6.2
+    poses[:, 1, 3] = 6.2
+    return xyz, T_bs, poses, "global"
+
+
+@pytest.mark.parametrize(
+    "kind", ["thin_obstacle", "grazing", "near_edge"]
+)
+def test_raycast_adversarial_scenes(golden_gen, tmp_path, kind):
+    rng = np.random.default_rng(hash(kind) % 2**31)
+    xyz, T_bs, poses, mode = _adversarial_scene(kind, rng)
+    sref = run_reference(golden_gen, tmp_path, xyz, T_bs, poses,
+                         "kalman", 1, mode)
+    _, state = run_tpu(xyz, T_bs, poses, "kalman", 1, mode)
+    # The thin-obstacle scene must actually exercise ghost clearing.
+    if kind == "thin_obstacle":
+        assert np.isfinite(
+            np.asarray(sref.layers["ghost_removal"])
+        ).sum() > 0, "scene failed to trigger reference ghost clearing"
+    frac, p99 = _logodds_envelope(sref, state)
+    print(f"{kind}: lo-diff frac {frac:.4f}, ray p99 {p99:.3f}")

@@ -187,3 +187,53 @@ class TestGridMapMsg:
         np.testing.assert_array_equal(
             back, np.asarray(state.layers["elevation"]),
         )
+
+
+class TestPclBridge:
+    def test_pointxyzi_layout(self):
+        rng = np.random.default_rng(2)
+        n = 50
+        cloud = from_numpy(
+            rng.normal(size=(n, 3)).astype(np.float32),
+            intensity=rng.uniform(0, 10, n).astype(np.float32),
+        )
+        rec = wire.cloud_to_pcl(cloud, "PointXYZI")
+        # pcl::PointXYZI: 32-byte record, intensity at offset 16.
+        assert rec.dtype.itemsize == 32
+        assert rec.dtype.fields["intensity"][1] == 16
+        back = wire.pcl_to_cloud(rec)
+        np.testing.assert_allclose(
+            np.asarray(back.xyz)[np.asarray(back.mask)],
+            np.asarray(cloud.xyz),
+        )
+        np.testing.assert_allclose(
+            np.asarray(back.channels["intensity"]),
+            np.asarray(cloud.channels["intensity"]),
+        )
+
+    def test_rgb_normal_roundtrip(self):
+        rng = np.random.default_rng(3)
+        n = 40
+        cloud = from_numpy(
+            rng.normal(size=(n, 3)).astype(np.float32),
+            color=rng.integers(0, 256, (n, 3)).astype(np.uint8),
+            normal=rng.normal(size=(n, 4)).astype(np.float32),
+        )
+        rec = wire.cloud_to_pcl(cloud, "PointXYZRGBNormal")
+        assert rec.dtype.itemsize == 48
+        back = wire.pcl_to_cloud(rec)
+        np.testing.assert_array_equal(
+            np.asarray(back.channels["color"]),
+            np.asarray(cloud.channels["color"]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(back.channels["normal"])[:, :3],
+            np.asarray(cloud.channels["normal"])[:, :3],
+        )
+
+    def test_unknown_type_raises(self):
+        cloud = from_numpy(np.zeros((1, 3), np.float32))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            wire.cloud_to_pcl(cloud, "PointBogus")
