@@ -293,9 +293,12 @@ def deskew(
 ) -> PointCloud:
     """Per-point motion compensation (nanopcl filters/deskew.hpp:72-129).
 
-    Each point is transformed by the pose interpolated (slerp rotation,
-    lerp translation) at its normalized time within [t0, t1]. Matching the
-    reference overloads:
+    Each point is transformed by T_end^-1 * T(t) — the relative motion
+    from its capture pose (slerp rotation, lerp translation at its
+    normalized time within [t0, t1]) into the END-of-scan frame, like the
+    reference (impl/deskew_impl.hpp:27-46: T_rel = T_end_inv * T_point);
+    the output stays in the sensor frame. Matching the reference
+    overloads:
       * explicit t0/t1 — absolute-timestamp time channel (deskew.hpp:121+)
       * strategy="channel" (default) — t0/t1 auto-detected as the valid
         min/max of the 'time' channel
@@ -306,7 +309,7 @@ def deskew(
         n = cloud.capacity
         alpha = jnp.arange(n, dtype=jnp.float32) / max(n - 1, 1)
     elif "time" not in cloud.channels:
-        return tfm.transform_cloud(cloud, T_end)
+        return cloud  # T_rel(t_end) = identity: nothing to compensate
     else:
         t = cloud.channels["time"]
         if t0 is None:
@@ -319,8 +322,20 @@ def deskew(
     q = tfm.slerp(q0, q1, alpha)  # [N, 4]
     R = jax.vmap(tfm.matrix_from_quat)(q)  # [N, 3, 3]
     trans = (1 - alpha)[:, None] * T_start[:3, 3] + alpha[:, None] * T_end[:3, 3]
-    xyz = jnp.einsum("nij,nj->ni", R, cloud.xyz) + trans
-    return dataclasses.replace(cloud, xyz=xyz)
+    # p' = T_end^-1 * (R(t) p + t(t))
+    R_end_inv = T_end[:3, :3].T
+    world = jnp.einsum("nij,nj->ni", R, cloud.xyz) + trans
+    xyz = (world - T_end[:3, 3]) @ R_end_inv.T
+    out = dataclasses.replace(cloud, xyz=xyz)
+    if "normal" in cloud.channels:
+        nrm = cloud.channels["normal"]
+        n3 = jnp.einsum(
+            "ij,njk,nk->ni", R_end_inv, R, nrm[:, :3]
+        )
+        out = out.with_channel(
+            "normal", nrm.at[:, :3].set(n3) if nrm.shape[1] == 4 else n3
+        )
+    return out
 
 
 def deskew_lookup(cloud: PointCloud, pose_lookup, num_waypoints: int = 16) -> PointCloud:
@@ -368,7 +383,12 @@ def deskew_lookup(cloud: PointCloud, pose_lookup, num_waypoints: int = 16) -> Po
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
     R = jax.vmap(tfm.matrix_from_quat)(q)
     trans = (1 - frac)[:, None] * trans_w[i0] + frac[:, None] * trans_w[i0 + 1]
-    xyz = jnp.einsum("nij,nj->ni", R, cloud.xyz) + trans
+    # Into the end-of-scan frame like the reference: p' = T_end^-1 T(t) p
+    # with T_end = pose_lookup(t_last) (impl/deskew_impl.hpp:106-117).
+    T_end = jnp.asarray(poses[-1], jnp.float32)
+    R_end_inv = T_end[:3, :3].T
+    world = jnp.einsum("nij,nj->ni", R, cloud.xyz) + trans
+    xyz = (world - T_end[:3, 3]) @ R_end_inv.T
     return dataclasses.replace(cloud, xyz=xyz)
 
 

@@ -277,6 +277,14 @@ def _build_phases(
         # the polar ray field (it exists as the RGB-D-scale A/B; VERDICT
         # r1 #5).
         raise ValueError('scatter_mode="sort" requires raycasting disabled')
+    if scatter_mode == "rows" and geom.num_cells > (1 << 19):
+        # TPU arrays pad the minor dim to 128 lanes, so the row table's
+        # PHYSICAL size is (ncell+1) x 128 x 4 B regardless of L — a 200 m
+        # global map (4M cells) would re-initialize ~2 GB per scan
+        # (measured: 4.1 vs 2.4 ms/scan no-raycast). Large maps fall back
+        # to the flat packed formulation, whose tables scale with lanes
+        # actually used.
+        scatter_mode = "packed"
     if scatter_mode in ("rows", "packed"):
         import functools
 

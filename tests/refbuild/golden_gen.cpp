@@ -55,6 +55,9 @@
 #include <nanopcl/filters/downsample.hpp>
 #include <nanopcl/geometry/normal_estimation.hpp>
 #include <nanopcl/registration/align.hpp>
+#include <nanopcl/filters/deskew.hpp>
+#include <nanopcl/segmentation/euclidean_cluster.hpp>
+#include <nanopcl/segmentation/ground_seg.hpp>
 
 namespace {
 
@@ -287,6 +290,69 @@ int main(int argc, char** argv) {
         for (int c = 0; c < 4; ++c) std::printf("%.8f ", T(r, c));
       std::printf("\n");
     }
+    return 0;
+  }
+
+  if (estimator == "deskew") {
+    // Deskew golden: scans.bin holds ONE cloud with intensity=1 whose
+    // 4th float is the per-point TIME channel; poses.bin's T_bs slot is
+    // unused and the two T_wb entries are (T_start, T_end). Runs
+    // nanopcl::filters::deskew (filters/deskew.hpp:97) and dumps the
+    // corrected xyz for comparison with cloud/filters.deskew.
+    nanopcl::PointCloud cloud;
+    cloud.reserve(N);
+    cloud.useTime();
+    for (std::int32_t i = 0; i < N; ++i) {
+      const float* p = xyz + static_cast<std::size_t>(i) * stride;
+      // add() pushes a default time slot (pushDefaultChannelValues);
+      // overwrite it with the record's 4th float.
+      cloud.add(p[0], p[1], p[2]);
+      cloud.time(static_cast<std::size_t>(i)) = p[3];
+    }
+    const Eigen::Isometry3d T_start = isometry_from(twb);
+    const Eigen::Isometry3d T_end = isometry_from(twb + 16);
+    auto out = nanopcl::filters::deskew(cloud, T_start, T_end);
+    std::ofstream f(out_path, std::ios::binary);
+    std::int32_t n_out = static_cast<std::int32_t>(out.size());
+    f.write(reinterpret_cast<char*>(&n_out), 4);
+    for (std::size_t i = 0; i < out.size(); ++i) {
+      float v[3] = {out[i].x(), out[i].y(), out[i].z()};
+      f.write(reinterpret_cast<char*>(v), 12);
+    }
+    std::printf("golden(deskew): %d pts\n", n_out);
+    return 0;
+  }
+
+  if (estimator == "seg") {
+    // Segmentation golden: euclidean clustering (tolerance = res) and
+    // ground segmentation with default config on the first scan; dumps
+    // per-point cluster labels (-1 noise) and the ground mask.
+    nanopcl::PointCloud cloud;
+    cloud.reserve(N);
+    for (std::int32_t i = 0; i < N; ++i) {
+      const float* p = xyz + static_cast<std::size_t>(i) * stride;
+      cloud.add(p[0], p[1], p[2]);
+    }
+    nanopcl::segmentation::ClusterConfig cc;
+    cc.tolerance = res;
+    cc.min_size = 5;
+    auto clusters = nanopcl::segmentation::euclideanCluster(cloud, cc);
+    std::vector<std::int32_t> label(N, -1);
+    for (std::size_t c = 0; c < clusters.numClusters(); ++c) {
+      for (std::uint32_t idx : clusters.clusterIndices(c)) {
+        label[idx] = static_cast<std::int32_t>(c);
+      }
+    }
+    auto ground = nanopcl::segmentation::segmentGround(cloud);
+    std::vector<std::uint8_t> gmask(N, 0);
+    for (std::uint32_t idx : ground.ground) gmask[idx] = 1;
+    std::ofstream f(out_path, std::ios::binary);
+    std::int32_t n_out = N;
+    f.write(reinterpret_cast<char*>(&n_out), 4);
+    f.write(reinterpret_cast<char*>(label.data()), 4 * N);
+    f.write(reinterpret_cast<char*>(gmask.data()), N);
+    std::printf("golden(seg): %zu clusters, %zu ground pts\n",
+                clusters.numClusters(), ground.ground.size());
     return 0;
   }
 

@@ -218,8 +218,13 @@ class TestDeskew:
         T0 = tfm.make_transform(t=[0, 0, 0])
         T1 = tfm.make_transform(t=[1, 0, 0])
         out = F.deskew(cloud, T0, T1, 0.0, 1.0)
-        np.testing.assert_allclose(np.asarray(out.xyz[0]), [0, 0, 0], atol=1e-6)
-        np.testing.assert_allclose(np.asarray(out.xyz[1]), [1, 0, 0], atol=1e-6)
+        # Output is in the END-of-scan frame (reference T_rel = T_end^-1
+        # T(t)): the t=0 point compensates by the full relative motion,
+        # the t=1 point is already in the end frame.
+        np.testing.assert_allclose(
+            np.asarray(out.xyz[0]), [-1, 0, 0], atol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(out.xyz[1]), [0, 0, 0], atol=1e-6)
 
     def test_midpoint_rotation(self):
         cloud = pc.from_numpy(
@@ -228,8 +233,9 @@ class TestDeskew:
         T0 = tfm.make_transform()
         T1 = tfm.from_rpy(0, 0, np.pi / 2)
         out = F.deskew(cloud, T0, T1, 0.0, 1.0)
+        # T_end^-1 T(0.5) = Rz(-pi/4) applied to (1, 0, 0).
         ang = np.arctan2(float(out.xyz[0, 1]), float(out.xyz[0, 0]))
-        np.testing.assert_allclose(ang, np.pi / 4, atol=1e-5)
+        np.testing.assert_allclose(ang, -np.pi / 4, atol=1e-5)
 
 
 class TestDeskewVariants:
@@ -242,7 +248,7 @@ class TestDeskewVariants:
         T1 = tfm.make_transform(t=[2, 0, 0])
         out = F.deskew(cloud, T0, T1)  # auto t0/t1 from channel
         np.testing.assert_allclose(
-            np.asarray(out.xyz)[:, 0], [0, 1, 2], atol=1e-5
+            np.asarray(out.xyz)[:, 0], [-2, -1, 0], atol=1e-5
         )
 
     def test_index_strategy(self):
@@ -252,7 +258,7 @@ class TestDeskewVariants:
         T1 = tfm.make_transform(t=[4, 0, 0])
         out = F.deskew(cloud, T0, T1, strategy="index")
         np.testing.assert_allclose(
-            np.asarray(out.xyz)[:, 0], [0, 1, 2, 3, 4], atol=1e-5
+            np.asarray(out.xyz)[:, 0], [-4, -3, -2, -1, 0], atol=1e-5
         )
 
     def test_lookup_matches_linear(self):

@@ -1016,3 +1016,112 @@ def test_raycast_adversarial_scenes(golden_gen, tmp_path, kind):
         ).sum() > 0, "scene failed to trigger reference ghost clearing"
     frac, p99 = _logodds_envelope(sref, state)
     print(f"{kind}: lo-diff frac {frac:.4f}, ray p99 {p99:.3f}")
+
+
+def test_deskew_matches_nanopcl(golden_gen, tmp_path):
+    """Motion compensation: our slerp/lerp per-point deskew vs
+    nanopcl::filters::deskew on the same cloud + pose pair + time channel
+    (filters/deskew.hpp:97)."""
+    from fastdem_tpu.cloud import transform as tfm
+    from fastdem_tpu.cloud.filters import deskew
+    from fastdem_tpu.cloud.pointcloud import from_numpy
+
+    rng = np.random.default_rng(12)
+    n = 4000
+    xyz = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    t = np.sort(rng.uniform(0.0, 0.1, n)).astype(np.float32)
+    T_start = np.asarray(
+        tfm.from_rpy(0.0, 0.0, 0.0, t=[0.0, 0.0, 0.0]), np.float32
+    )
+    T_end = np.asarray(
+        tfm.from_rpy(0.02, -0.01, 0.08, t=[0.5, -0.2, 0.05]), np.float32
+    )
+
+    data = np.concatenate([xyz, t[:, None]], axis=1)  # intensity slot=time
+    with open(tmp_path / "scans.bin", "wb") as f:
+        f.write(struct.pack("<ii", 1, n))
+        f.write(np.ascontiguousarray(data, np.float32).tobytes())
+    with open(tmp_path / "poses.bin", "wb") as f:
+        f.write(np.eye(4, dtype=np.float32).tobytes())
+        f.write(T_start.tobytes())
+        f.write(T_end.tobytes())
+    out = tmp_path / "deskewed.bin"
+    r = subprocess.run(
+        [golden_gen, str(tmp_path / "scans.bin"), str(tmp_path / "poses.bin"),
+         str(out), "deskew", "0", "local", "15", "15", "0.1", "0", "lidar",
+         "1", "0"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    raw = out.read_bytes()
+    (n_ref,) = struct.unpack_from("<i", raw, 0)
+    ref = np.frombuffer(raw[4:], dtype=np.float32).reshape(n_ref, 3)
+
+    ours = deskew(
+        from_numpy(xyz, time=t), jnp.asarray(T_start), jnp.asarray(T_end)
+    )
+    got = np.asarray(ours.xyz)[np.asarray(ours.mask)]
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_segmentation_matches_nanopcl(golden_gen, tmp_path):
+    """Euclidean clustering (identical components + membership) and grid
+    ground segmentation (identical masks) vs nanoPCL on the same cloud
+    (segmentation/euclidean_cluster.hpp, ground_seg.hpp)."""
+    from fastdem_tpu.cloud.pointcloud import from_numpy
+    from fastdem_tpu.cloud.segmentation import (
+        GroundSegConfig,
+        euclidean_cluster,
+        segment_ground,
+    )
+
+    rng = np.random.default_rng(13)
+    # Three well-separated blobs above a sparse ground sheet.
+    blobs = [
+        rng.normal([2.0, 2.0, 1.0], 0.15, (120, 3)),
+        rng.normal([-2.5, 1.0, 0.8], 0.15, (90, 3)),
+        rng.normal([0.5, -2.0, 1.2], 0.15, (60, 3)),
+    ]
+    ground = np.column_stack(
+        [rng.uniform(-4, 4, 600), rng.uniform(-4, 4, 600),
+         rng.normal(0.0, 0.02, 600)]
+    )
+    xyz = np.vstack(blobs + [ground]).astype(np.float32)
+    n = xyz.shape[0]
+    tol = 0.5
+
+    with open(tmp_path / "scans.bin", "wb") as f:
+        f.write(struct.pack("<ii", 1, n))
+        f.write(np.ascontiguousarray(xyz, np.float32).tobytes())
+    with open(tmp_path / "poses.bin", "wb") as f:
+        f.write(np.eye(4, dtype=np.float32).tobytes())
+        f.write(np.eye(4, dtype=np.float32).tobytes())
+    out = tmp_path / "seg.bin"
+    r = subprocess.run(
+        [golden_gen, str(tmp_path / "scans.bin"), str(tmp_path / "poses.bin"),
+         str(out), "seg", "0", "local", "15", "15", str(tol)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    raw = out.read_bytes()
+    (n_ref,) = struct.unpack_from("<i", raw, 0)
+    assert n_ref == n
+    ref_label = np.frombuffer(raw[4 : 4 + 4 * n], dtype=np.int32)
+    ref_ground = np.frombuffer(raw[4 + 4 * n :], dtype=np.uint8).astype(bool)
+
+    cloud = from_numpy(xyz)
+    ours_label = np.asarray(
+        euclidean_cluster(cloud, tolerance=tol, min_cluster_size=5)
+    )
+    # Same partition: labels must be a bijection between the two labelings
+    # on clustered points, with identical noise sets.
+    np.testing.assert_array_equal(ours_label < 0, ref_label < 0)
+    both = ours_label >= 0
+    pairs = set(zip(ours_label[both].tolist(), ref_label[both].tolist()))
+    assert len(pairs) == len({a for a, _ in pairs}) == len(
+        {b for _, b in pairs}
+    ), "cluster memberships differ"
+
+    ours_ground = np.asarray(segment_ground(cloud, GroundSegConfig()))
+    np.testing.assert_array_equal(ours_ground, ref_ground)
