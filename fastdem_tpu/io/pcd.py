@@ -351,6 +351,17 @@ def save_trajectory_tum(path: str, timestamps, poses) -> bool:
     return True
 
 
+def save_trajectory_kitti(path: str, poses) -> bool:
+    """KITTI format: 12 floats per line (3x4 row-major), no timestamps
+    (nanopcl io/trajectory_io.hpp saveTrajectoryKITTI)."""
+    rows = [np.asarray(T, dtype=np.float64)[:3, :].reshape(12) for T in poses]
+    try:
+        np.savetxt(path, np.asarray(rows), fmt="%.9f")
+    except OSError:
+        return False
+    return True
+
+
 def _pose_from_quat(x, y, z, qw, qx, qy, qz):
     T = np.eye(4, dtype=np.float32)
     T[:3, :3] = np.array(

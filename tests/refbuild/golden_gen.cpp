@@ -58,6 +58,7 @@
 #include <nanopcl/filters/deskew.hpp>
 #include <nanopcl/segmentation/euclidean_cluster.hpp>
 #include <nanopcl/segmentation/ground_seg.hpp>
+#include <nanopcl/io/trajectory_io.hpp>
 
 namespace {
 
@@ -290,6 +291,26 @@ int main(int argc, char** argv) {
         for (int c = 0; c < 4; ++c) std::printf("%.8f ", T(r, c));
       std::printf("\n");
     }
+    return 0;
+  }
+
+  if (estimator == "traj") {
+    // Trajectory IO golden: scans.bin is a TUM (mode=tum) or KITTI
+    // (mode=kitti) trajectory text file WRITTEN BY fastdem_tpu; load it
+    // with nanoPCL's reader, re-save with its writer to out_path, and
+    // print the pose count + first/last translations for sanity.
+    nanopcl::io::Trajectory traj =
+        (mode == "tum") ? nanopcl::io::loadTrajectoryTUM(scans_path)
+                        : nanopcl::io::loadTrajectoryKITTI(scans_path);
+    if (mode == "tum") {
+      nanopcl::io::saveTrajectoryTUM(out_path, traj);
+    } else {
+      nanopcl::io::saveTrajectoryKITTI(out_path, traj);
+    }
+    const auto& first = *traj.begin();
+    std::printf("golden(traj): %zu poses t0=%f p0=%f %f %f\n", traj.size(),
+                first.timestamp, first.pose.translation().x(),
+                first.pose.translation().y(), first.pose.translation().z());
     return 0;
   }
 

@@ -1125,3 +1125,60 @@ def test_segmentation_matches_nanopcl(golden_gen, tmp_path):
 
     ours_ground = np.asarray(segment_ground(cloud, GroundSegConfig()))
     np.testing.assert_array_equal(ours_ground, ref_ground)
+
+
+@pytest.mark.parametrize("fmt", ["tum", "kitti"])
+def test_trajectory_io_through_nanopcl(golden_gen, tmp_path, fmt):
+    """TUM / KITTI trajectory files written by fastdem_tpu parse through
+    nanoPCL's trajectory reader and survive its writer; poses round-trip
+    (io/trajectory_io.hpp)."""
+    from fastdem_tpu.cloud import transform as tfm
+    from fastdem_tpu.io.pcd import (
+        load_trajectory,
+        save_trajectory_kitti,
+        save_trajectory_tum,
+    )
+
+    rng = np.random.default_rng(21)
+    K = 25
+    poses = []
+    for k in range(K):
+        poses.append(
+            np.asarray(
+                tfm.from_rpy(
+                    *rng.uniform(-0.3, 0.3, 3),
+                    t=rng.uniform(-5, 5, 3),
+                ),
+                np.float64,
+            )
+        )
+    ts = np.sort(rng.uniform(100.0, 200.0, K))
+
+    ours = tmp_path / f"traj.{fmt}"
+    if fmt == "tum":
+        assert save_trajectory_tum(str(ours), ts, poses)
+    else:
+        assert save_trajectory_kitti(str(ours), poses)
+
+    out = tmp_path / f"traj_back.{fmt}"
+    dummy = tmp_path / "dummy.bin"
+    dummy.write_bytes(b"\x00" * 8)
+    r = subprocess.run(
+        [golden_gen, str(ours), str(dummy), str(out), "traj", "0", fmt,
+         "15", "15", "0.1"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert f"golden(traj): {K} poses" in r.stdout, r.stdout
+
+    back_ts, back_poses = load_trajectory(str(out))
+    assert back_poses.shape == (K, 4, 4)
+    for k in range(K):
+        np.testing.assert_allclose(
+            back_poses[k][:3, 3], poses[k][:3, 3], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            back_poses[k][:3, :3], poses[k][:3, :3], atol=1e-5
+        )
+    if fmt == "tum":
+        np.testing.assert_allclose(np.asarray(back_ts), ts, atol=1e-6)
