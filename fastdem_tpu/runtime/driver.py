@@ -393,6 +393,7 @@ class MappingDriver:
                 ),
             )
         if self.artifact_dir:
+            from fastdem_tpu.io.html_viewer import save_html
             from fastdem_tpu.io.npz import save_npz
 
             save_npz(
@@ -400,6 +401,11 @@ class MappingDriver:
                 self.geom,
                 state,
                 frame_id=self.mapper.frame_id,
+            )
+            # Interactive 3D artifact (the Rerun-bridge-equivalent viz;
+            # io/html_viewer.py): one self-contained HTML next to the npz.
+            save_html(
+                f"{self.artifact_dir}/map_latest.html", self.geom, state
             )
 
     def _publish(self, topic: str, payload):

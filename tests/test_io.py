@@ -270,3 +270,72 @@ class TestNativeIO:
         np.testing.assert_allclose(
             np.asarray(back.channels["intensity"]), inten
         )
+
+
+class TestHtmlViewer:
+    def test_save_html_self_contained(self, tmp_path):
+        """The Rerun-equivalent viz artifact: one dependency-free HTML file
+        embedding the quantized elevation surface (io/html_viewer.py)."""
+        import fastdem_tpu as fd
+        from fastdem_tpu.io.html_viewer import save_html
+
+        geom = fd.GridGeometry.from_length(4.0, 4.0, 0.5)
+        m = fd.FastDEM(geom, fd.Config())
+        rng = np.random.default_rng(0)
+        xyz = np.column_stack(
+            [rng.uniform(-1.8, 1.8, (300, 2)),
+             rng.normal(-0.5, 0.1, (300, 1))]
+        ).astype(np.float32)
+        from fastdem_tpu.cloud.pointcloud import from_numpy
+
+        assert m.integrate(from_numpy(xyz), np.eye(4), np.eye(4))
+        out = tmp_path / "map.html"
+        assert save_html(str(out), geom, m.state)
+        html = out.read_text()
+        assert "<html>" in html and "</html>" in html
+        assert "http" not in html.lower().replace(
+            "charcodeat", ""
+        )  # no external resources
+        assert '"rows": 8' in html
+        # Quantized payload decodes to the right cell count.
+        import base64 as b64
+        import re
+
+        blob = re.search(r'atob\("([A-Za-z0-9+/=]+)"\)', html).group(1)
+        raw = b64.b64decode(blob)
+        assert len(raw) == 2 * 8 * 8
+        # Decode exactly like the embedded JS (u16 LE, 65535 = NaN,
+        # linear dequantization) and compare against the map layer.
+        import json as _json
+
+        meta = _json.loads(
+            re.search(r"const META = (\{.*?\});", html).group(1)
+        )
+        q = np.frombuffer(raw, dtype="<u2").astype(np.float64)
+        dec = np.where(
+            q == 65535, np.nan,
+            meta["zmin"] + q / 65534.0 * (meta["zmax"] - meta["zmin"]),
+        ).reshape(8, 8)
+        elev = np.asarray(m.state.layers["elevation"])
+        np.testing.assert_array_equal(np.isnan(dec), np.isnan(elev))
+        fin = np.isfinite(elev)
+        if fin.any():
+            span = meta["zmax"] - meta["zmin"]
+            assert np.abs(dec[fin] - elev[fin]).max() <= span / 65534 + 1e-9
+
+    def test_downsampling_respects_max_cells(self, tmp_path):
+        import fastdem_tpu as fd
+        from fastdem_tpu.io.html_viewer import save_html
+        from fastdem_tpu.mapping.pipeline import create_map_state
+
+        geom = fd.GridGeometry.from_length(100.0, 100.0, 0.1)  # 1M cells
+        state = create_map_state(geom, fd.Config())
+        out = tmp_path / "big.html"
+        assert save_html(str(out), geom, state, max_cells=40_000)
+        import json as _json
+        import re
+
+        meta = _json.loads(
+            re.search(r"const META = (\{.*?\});", out.read_text()).group(1)
+        )
+        assert meta["rows"] * meta["cols"] <= 40_000
