@@ -203,7 +203,7 @@ def build_integrate(
     requires scatter_mode="packed". Defaults to
     ``cfg.raycasting.voxel_count_mode``.
     """
-    phase_a, phase_b, moved_position = _build_phases(
+    phase_a, phase_b, moved_position, _ = _build_phases(
         geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
         scatter_mode, voxel_count_mode, ray_exact_window,
     )
@@ -256,6 +256,11 @@ def _build_phases(
     * ``moved_position(position, target_xy)`` — gridmap.move's position
       lattice walk (elevation_mapping.cpp:112-114), exposed so callers can
       precompute per-scan positions for phase A.
+    * ``phase_a_batched(positions, xyz, mask, T_bs, T_wb, ...)`` — K-scan
+      microbatched phase A: dense prep is vmapped, the irregular ops are
+      single flat offset-index ops (rasterize_scatter_rows_batched). None
+      when the configuration can't use it (non-"rows" scatter path or the
+      sampled raycast method).
     """
     if voxel_count_mode is None:
         voxel_count_mode = cfg.raycasting.voxel_count_mode
@@ -494,6 +499,153 @@ def _build_phases(
 
         return obs, ray, sensor_origin, xyz_world, keep, z_var
 
+    def phase_a_batched(
+        positions, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None
+    ):
+        """K-scan phase A with flat offset-index irregular ops (see
+        rasterize.rasterize_scatter_rows_batched). Per-scan semantics match
+        ``phase_a``; dense prep is vmapped (FMA reassociation possible at
+        polar-bin boundaries — build_integrate_sequence's ray-layer note)."""
+        Kb = xyz.shape[0]
+        T_bs_b = jnp.broadcast_to(T_bs, (Kb, 4, 4))
+        T_ws = T_wb @ T_bs_b
+        r3 = T_ws[:, 2, :3]
+        z_var = jax.vmap(sensor.z_variance_world)(xyz, r3)
+
+        xyz_base = jax.vmap(tfm.transform_points)(xyz, T_bs_b)
+        d2 = jnp.sum(xyz_base * xyz_base, axis=-1)
+        keep = (
+            mask
+            & (d2 >= rmin2)
+            & (d2 <= rmax2)
+            & (xyz_base[:, :, 2] >= pf.z_min)
+            & (xyz_base[:, :, 2] <= pf.z_max)
+        )
+        xyz_world = jax.vmap(tfm.transform_points)(xyz_base, T_wb)
+
+        extra = None
+        rider = None
+        ray_window = None
+        sensor_origin = T_ws[:, :3, 3]
+        if cfg.raycasting.enabled:
+            origin_inside = jax.vmap(geom.is_inside)(
+                positions, sensor_origin[:, :2]
+            )
+            ray_mask = keep & origin_inside[:, None]
+            e_keys, e_vals, e_size = jax.vmap(
+                lambda p, xw, m, so: raycast.polar_scatter_spec(
+                    geom, p, xw, m, so, ray_num_azimuth,
+                    ray_range_bin_factor, ray_max_range,
+                ),
+                out_axes=(0, 0, None),
+            )(positions, xyz_world, ray_mask, sensor_origin)
+            extra = (e_keys, e_vals, e_size)
+
+            if ray_max_range is not None:
+                wcells = (
+                    int(math.ceil(2.0 * ray_max_range / geom.resolution)) + 4
+                )
+                wr = min(geom.rows, wcells)
+                wc = min(geom.cols, wcells)
+            else:
+                wr, wc = geom.rows, geom.cols
+            if (wr, wc) != (geom.rows, geom.cols):
+                sr, sc, _ = jax.vmap(geom.index_of)(
+                    positions, sensor_origin[:, :2]
+                )
+                r0 = jnp.clip(jnp.clip(sr, 0, geom.rows) - wr // 2,
+                              0, geom.rows - wr)
+                c0 = jnp.clip(jnp.clip(sc, 0, geom.cols) - wc // 2,
+                              0, geom.cols - wc)
+                ray_window = (r0, c0, wr, wc)
+                a0, a1, r_idx, ray_in_range = jax.vmap(
+                    lambda p, so, r0_, c0_: raycast.resample_indices(
+                        geom, p, so, ray_num_azimuth, ray_range_bin_factor,
+                        ray_max_range, window=(r0_, c0_, wr, wc),
+                    )
+                )(positions, sensor_origin, r0, c0)
+            else:
+                a0, a1, r_idx, ray_in_range = jax.vmap(
+                    lambda p, so: raycast.resample_indices(
+                        geom, p, so, ray_num_azimuth, ray_range_bin_factor,
+                        ray_max_range,
+                    )
+                )(positions, sensor_origin)
+            flat0 = (r_idx * ray_num_azimuth + a0).reshape(Kb, -1)
+            if ray_exact_window:
+                flat_idx = flat0
+            else:
+                flat1 = (r_idx * ray_num_azimuth + a1).reshape(Kb, -1)
+                flat_idx = jnp.concatenate([flat0, flat1], axis=1)
+
+            def rider(polar_tables):
+                smeared = jax.vmap(
+                    lambda so, tbl: raycast.polar_smeared_field(
+                        geom, so, tbl, ray_num_azimuth,
+                        ray_range_bin_factor, ray_max_range,
+                        exact_window=ray_exact_window,
+                    )
+                )(sensor_origin, polar_tables)
+                return smeared.reshape(Kb, -1), flat_idx
+
+        obs = raster.rasterize_scatter_rows_batched(
+            geom,
+            positions,
+            xyz_world,
+            keep,
+            z_var,
+            intensity=intensity,
+            color_packed=color_packed,
+            with_voxel_count=cfg.raycasting.enabled,
+            extra_min_scatter=extra,
+            phase_gather_rider=rider,
+            voxel_count_mode=voxel_count_mode,
+        )
+
+        ray = None
+        if cfg.raycasting.enabled:
+            if ray_window is not None:
+                r0, c0, wr, wc = ray_window
+                nwin = wr * wc
+                if ray_exact_window:
+                    h_cell_w = obs.extra[:, :nwin].reshape(Kb, wr, wc)
+                else:
+                    h_cell_w = jnp.minimum(
+                        obs.extra[:, :nwin].reshape(Kb, wr, wc),
+                        obs.extra[:, nwin:].reshape(Kb, wr, wc),
+                    )
+                touched_w = jnp.isfinite(h_cell_w) & ray_in_range
+                ray_min = jax.vmap(
+                    lambda h, r0_, c0_: jax.lax.dynamic_update_slice(
+                        jnp.full(geom.shape, jnp.nan), h, (r0_, c0_)
+                    )
+                )(jnp.where(touched_w, h_cell_w, jnp.nan), r0, c0)
+                ray_touched = jax.vmap(
+                    lambda tw, r0_, c0_: jax.lax.dynamic_update_slice(
+                        jnp.zeros(geom.shape, dtype=bool), tw, (r0_, c0_)
+                    )
+                )(touched_w, r0, c0)
+            else:
+                ncell = geom.num_cells
+                if ray_exact_window:
+                    h_cell = obs.extra[:, :ncell].reshape(
+                        (Kb,) + geom.shape
+                    )
+                else:
+                    h0 = obs.extra[:, :ncell].reshape((Kb,) + geom.shape)
+                    h1 = obs.extra[:, ncell:].reshape((Kb,) + geom.shape)
+                    h_cell = jnp.minimum(h0, h1)
+                ray_touched = jnp.isfinite(h_cell) & ray_in_range
+                ray_min = jnp.where(ray_touched, h_cell, jnp.nan)
+            ray = (ray_min, ray_touched)
+
+        return obs, ray, sensor_origin, xyz_world, keep, z_var
+
+    if scatter_mode != "rows" or (
+        cfg.raycasting.enabled and cfg.raycasting.method == "sampled"
+    ):
+        phase_a_batched = None
+
     def phase_b(state, T_wb, frame_nonempty, pa):
         obs, ray, sensor_origin, _xyz_world, _keep, _z_var = pa
         # ---- 2. Map update (elevation_mapping.cpp:110-125) ----
@@ -522,7 +674,7 @@ def _build_phases(
             )
         return state
 
-    return phase_a, phase_b, moved_position
+    return phase_a, phase_b, moved_position, phase_a_batched
 
 
 def build_integrate_fused(
@@ -569,7 +721,7 @@ def build_integrate_fused(
     and because the phase split it motivated also serves
     build_integrate; prefer build_integrate_sequence for replay.
     """
-    phase_a, phase_b, moved_position = _build_phases(
+    phase_a, phase_b, moved_position, _ = _build_phases(
         geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
         scatter_mode, voxel_count_mode, ray_exact_window,
     )
@@ -623,6 +775,7 @@ def build_integrate_sequence(
     has_color: bool = False,
     jit: bool = True,
     donate: bool = True,
+    microbatch: int = 1,
     **step_kwargs,
 ):
     """Compile a batched replay step: K scans integrated in ONE device
@@ -655,7 +808,115 @@ def build_integrate_sequence(
     mask — an empty scan touches no cells and a repeated pose makes LOCAL
     ``move`` a no-op, so short batches can be padded to a fixed K without
     affecting the map.
+
+    ``microbatch``: flatten the irregular ops (scatters/gathers) of this
+    many consecutive scans into single flat offset-index device ops
+    (rasterize_scatter_rows_batched; phase B stays a per-frame scan). K
+    must be a multiple of it. Requires the "rows" scatter path; falls back
+    to 1 (with a warning) when the configuration can't use it. Whether >1
+    wins is backend-dependent — measure (tools/bench_microbatch.py): the
+    per-index rate improves with index count but the K-fold larger
+    scatter/gather tables push against the table-size wall.
     """
+    if microbatch < 1:
+        raise ValueError("microbatch must be >= 1")
+    if microbatch > 1:
+        pa_kwargs = dict(step_kwargs)
+        pa_kwargs.setdefault("scatter_mode", "rows")
+        phase_a, phase_b, moved_position, phase_a_batched = _build_phases(
+            geom,
+            cfg,
+            pa_kwargs.get("ray_num_azimuth"),
+            pa_kwargs.get("ray_range_bin_factor"),
+            pa_kwargs.get("ray_max_range"),
+            pa_kwargs.get("scatter_mode", "rows"),
+            pa_kwargs.get("voxel_count_mode"),
+            pa_kwargs.get("ray_exact_window", True),
+        )
+        if phase_a_batched is None:
+            import logging
+
+            logging.getLogger("fastdem_tpu").warning(
+                "microbatch=%d needs the 'rows' scatter path; falling back "
+                "to sequential phase A.",
+                microbatch,
+            )
+            microbatch = 1
+    if microbatch > 1:
+        local_mode = cfg.mapping.mode == MappingMode.LOCAL
+        mb = microbatch
+
+        def integrate_sequence(
+            state, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None
+        ):
+            K = xyz.shape[0]
+            if K % mb:
+                raise ValueError(
+                    f"K={K} frames not a multiple of microbatch={mb}; pad "
+                    "with empty frames (see docstring)"
+                )
+            static_tbs = T_bs.ndim == 2
+
+            def chunked(a):
+                return (
+                    None
+                    if a is None
+                    else a.reshape((K // mb, mb) + a.shape[1:])
+                )
+
+            xs = {
+                "xyz": chunked(xyz),
+                "mask": chunked(mask),
+                "T_wb": chunked(T_wb),
+            }
+            if not static_tbs:
+                xs["T_bs"] = chunked(T_bs)
+            if intensity is not None:
+                xs["intensity"] = chunked(intensity)
+            if color_packed is not None:
+                xs["color"] = chunked(color_packed)
+
+            def chunk_body(s, inp):
+                twb_c = inp["T_wb"]
+                if local_mode:
+                    def pos_step(p, target):
+                        p2 = moved_position(p, target)
+                        return p2, p2
+
+                    _, positions = jax.lax.scan(
+                        pos_step, s.position, twb_c[:, :2, 3]
+                    )
+                else:
+                    positions = jnp.broadcast_to(
+                        s.position, (mb,) + s.position.shape
+                    )
+                pa = phase_a_batched(
+                    positions,
+                    inp["xyz"],
+                    inp["mask"],
+                    T_bs if static_tbs else inp["T_bs"],
+                    twb_c,
+                    inp.get("intensity"),
+                    inp.get("color"),
+                )
+                fne = jnp.any(inp["mask"], axis=1)
+
+                def frame_body(s2, fr):
+                    pa_k, twb_k, fne_k = fr
+                    return phase_b(s2, twb_k, fne_k, pa_k), ()
+
+                s, _ = jax.lax.scan(frame_body, s, (pa, twb_c, fne))
+                return s, ()
+
+            state, _ = jax.lax.scan(chunk_body, state, xs)
+            return state
+
+        if jit:
+            return jax.jit(
+                integrate_sequence, donate_argnums=(0,) if donate else ()
+            )
+        return integrate_sequence
+
     step = build_integrate(
         geom, cfg, has_intensity, has_color, jit=False, **step_kwargs
     )

@@ -449,51 +449,36 @@ def rasterize_scatter_packed(
     # patterns (packed colors, bitcast indices) to zero — int32 addition
     # with 0 is exact. Gathers are dtype-neutral on this backend
     # (BENCH_NOTES.md), so this costs nothing.
-    _i32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
-    _f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)  # noqa: E731
+    from fastdem_tpu.ops.rowgather import tile_row_gather
+
     if ncell <= 2 * n:
-        # Cell path: gather z/var/color at the argmin, fused with the
-        # rider's polar-field lookups.
-        bufs = [_i32(z), _i32(z_var)]
-        gidx = [amin, amin + n]
-        if color_packed is not None:
-            bufs.append(_i32(color_packed))
-            gidx.append(amin + 2 * n)
-        off = len(bufs) * n
-        if phase_gather_rider is not None:
-            rider_buf, rider_idx = phase_gather_rider(extra_f32)
-            bufs.append(_i32(rider_buf))
-            gidx.append(rider_idx + off)
-        g = jnp.concatenate(bufs)[jnp.concatenate(gidx)]
-        min_z = _f32(g[:ncell])
-        min_z_var = _f32(g[ncell : 2 * ncell])
+        # Cell path: tile-row lookups of z/var/color at the argmin and of
+        # the rider's polar field (aligned row fetches + dense lane select
+        # run ~5x faster than element gathers here — ops/rowgather.py;
+        # split per buffer, tools/bench_rowops3.py).
+        min_z = tile_row_gather(z, amin)
+        min_z_var = tile_row_gather(z_var, amin)
         color = None
-        pos = 2 * ncell
         if color_packed is not None:
             color = jnp.where(
-                touched, _f32(g[pos : pos + ncell]), jnp.nan
+                touched, tile_row_gather(color_packed, amin), jnp.nan
             ).reshape(shape)
-            pos += ncell
-        extra = (
-            _f32(g[pos:]) if phase_gather_rider is not None else extra_f32
-        )
-    else:
-        # Per-point path: find each point's win (amin[ids] == index) with
-        # an O(n) gather (fused with the rider, in int32 — see the cast
-        # rationale above; the rider's f32 field is bitcast, not its
-        # values changed), then write the winner's channels with ONE O(n)
-        # int32 scatter (unique writer per cell; involution-encoded,
-        # exact).
-        gather_ids = jnp.minimum(ids, ncell - 1)
         if phase_gather_rider is not None:
             rider_buf, rider_idx = phase_gather_rider(extra_f32)
-            g = jnp.concatenate([amin, _i32(rider_buf)])[
-                jnp.concatenate([gather_ids, rider_idx + ncell])
-            ]
-            amin_at_pt = g[:n]
-            extra = _f32(g[n:])
+            extra = tile_row_gather(rider_buf, rider_idx)
         else:
-            amin_at_pt = amin[gather_ids]
+            extra = extra_f32
+    else:
+        # Per-point path: find each point's win (amin[ids] == index) with
+        # an O(n) tile-row lookup, then write the winner's channels with
+        # ONE O(n) int32 scatter (unique writer per cell;
+        # involution-encoded, exact).
+        gather_ids = jnp.minimum(ids, ncell - 1)
+        amin_at_pt = tile_row_gather(amin, gather_ids)
+        if phase_gather_rider is not None:
+            rider_buf, rider_idx = phase_gather_rider(extra_f32)
+            extra = tile_row_gather(rider_buf, rider_idx)
+        else:
             extra = extra_f32
         at_min = valid & (amin_at_pt == iota)
 
@@ -682,38 +667,37 @@ def rasterize_scatter_rows(
         extra_f32 = jnp.where(et == _IMAX, _INF, _i32_ordered_f32(et))
 
     # ---- Argmin-carried channels: variance [+ color] of the min point.
-    # int32 gathers (GSPMD zero-fill + SUM combining is exact in int32;
-    # see rasterize_scatter_packed). Cell path when the map is small
-    # relative to the scan, per-point path otherwise. Gathers run SPLIT,
-    # not concat-fused: per-index serialization means a fused gather saves
-    # nothing, while the concat materializes the (big) rider field buffer
-    # every step — split measured 0.586 vs fused 0.697 ms at 45K indices
-    # (tools/bench_rowops3.py).
-    _i32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
-    _f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)  # noqa: E731
+    # All lookups go through ops.rowgather.tile_row_gather: aligned
+    # tile-row fetches + dense lane select run ~5x faster than element
+    # gathers on this backend (0.027 vs 0.15 ms for the variance lookup,
+    # 0.09 vs 0.42 for the rider field — tools/bench_perop.py,
+    # bench_rowgather2.py) and are exact (int32 bitcast path; GSPMD-safe).
+    # Gathers stay SPLIT per buffer: per-index serialization means fusion
+    # saves nothing while the concat materializes the big rider field
+    # every step (0.586 split vs 0.697 fused, tools/bench_rowops3.py).
+    # Cell path when the map is small relative to the scan, per-point
+    # path otherwise.
+    from fastdem_tpu.ops.rowgather import tile_row_gather
+
     if ncell <= 2 * n:
+        min_z_var = tile_row_gather(z_var, amin)
         if color_packed is not None:
-            # One row gather carries both argmin channels.
-            rowbuf = jnp.stack([_i32(z_var), _i32(color_packed)], axis=1)
-            g2 = rowbuf[amin]
-            min_z_var = _f32(g2[:, 0])
             color = jnp.where(
-                touched, _f32(g2[:, 1]), jnp.nan
+                touched, tile_row_gather(color_packed, amin), jnp.nan
             ).reshape(shape)
         else:
-            min_z_var = _f32(_i32(z_var)[amin])
             color = None
         if phase_gather_rider is not None:
             rider_buf, rider_idx = phase_gather_rider(extra_f32)
-            extra = _f32(_i32(rider_buf)[rider_idx])
+            extra = tile_row_gather(rider_buf, rider_idx)
         else:
             extra = extra_f32
     else:
         gather_ids = jnp.minimum(ids, ncell - 1)
-        amin_at_pt = amin[gather_ids]
+        amin_at_pt = tile_row_gather(amin, gather_ids)
         if phase_gather_rider is not None:
             rider_buf, rider_idx = phase_gather_rider(extra_f32)
-            extra = _f32(_i32(rider_buf)[rider_idx])
+            extra = tile_row_gather(rider_buf, rider_idx)
         else:
             extra = extra_f32
         at_min = valid & (amin_at_pt == iota)
@@ -763,6 +747,219 @@ def rasterize_scatter_rows(
         min_z_var=jnp.where(touched, min_z_var, nan).reshape(shape),
         max_z=jnp.where(touched, max_z, nan).reshape(shape),
         touched=touched.reshape(shape),
+        max_intensity=max_intensity,
+        color=color,
+        voxel_count=voxel_count,
+        extra=extra,
+    )
+
+
+def rasterize_scatter_rows_batched(
+    geom: GridGeometry,
+    positions: jnp.ndarray,
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    z_var: jnp.ndarray,
+    intensity: Optional[jnp.ndarray] = None,
+    color_packed: Optional[jnp.ndarray] = None,
+    with_voxel_count: bool = False,
+    extra_min_scatter=None,
+    phase_gather_rider=None,
+    voxel_count_mode: str = "exact",
+) -> CellObservations:
+    """K-scan microbatched row rasterization (flat offset-index ops).
+
+    Same per-scan semantics as ``rasterize_scatter_rows``, but the K scans'
+    irregular ops are each ONE flat op with indices offset by k*stride:
+    scatter/gather serialize per INDEX and the per-index rate improves with
+    index count (~11 ns/idx at 30K -> ~8 at 120K, tools/bench_rowops.py /
+    bench_microbatch.py), while K separate ops pay the worse rate K times.
+    Phase A of the pipeline is per-scan independent given the pose stream
+    (pipeline._build_phases), which is what makes this legal: each scan's
+    lanes land in its own [ncell+1, L] table slice, so results are
+    identical to K sequential calls (vmapped dense prep may reassociate
+    FMAs — same caveat as build_integrate_sequence's ray-layer note).
+
+    Inputs carry a leading K dim (positions [K,2], xyz [K,N,3], ...).
+    ``extra_min_scatter``: (ids [K,N], vals [K,N], size) — scattered into a
+    [K*size] table. ``phase_gather_rider``: callable
+    ``extra [K, size-1] -> (buf [K, M], idx [K, nidx])``; the lookups are
+    offset-flattened into one gather. Returns CellObservations with [K,...]
+    fields (extra: [K, nidx]).
+    """
+    if voxel_count_mode not in ("exact", "span"):
+        raise ValueError(f"unknown voxel_count_mode: {voxel_count_mode!r}")
+    ncell = geom.num_cells
+    shape = geom.shape
+    K, n = xyz.shape[0], xyz.shape[1]
+    idx_bits = max(1, (n - 1).bit_length())
+    qmax = (1 << (31 - idx_bits)) - 1
+    ids, inside = jax.vmap(geom.cell_id_of)(positions, xyz[:, :, :2])
+    valid = mask & inside
+    ids = jnp.where(valid, ids, ncell)
+    z = xyz[:, :, 2]
+
+    zlo = jnp.min(jnp.where(valid, z, _INF), axis=1, keepdims=True)
+    zhi = jnp.max(jnp.where(valid, z, -_INF), axis=1, keepdims=True)
+    zrange = jnp.maximum(zhi - zlo, 1e-6)
+    zq = jnp.clip(
+        jnp.floor((z - zlo) / zrange * qmax).astype(jnp.int32), 0, qmax
+    )
+    iota = jnp.arange(n, dtype=jnp.int32)[None, :]
+
+    lanes = [
+        jnp.where(valid, (zq << idx_bits) | iota, _IMAX),
+        jnp.where(valid, _f32_ordered_i32(z), _IMAX),
+        jnp.where(valid, _f32_ordered_i32(-z), _IMAX),
+    ]
+    if intensity is not None:
+        lanes.append(jnp.where(valid, _f32_ordered_i32(-intensity), _IMAX))
+    int_lane = len(lanes) - 1 if intensity is not None else None
+
+    ZB = 32
+    vox_in_rows = (
+        with_voxel_count
+        and voxel_count_mode == "exact"
+        and (ncell + 1) * (len(lanes) + ZB) <= (1 << 23)
+    )
+    vox_lane0 = None
+    if vox_in_rows:
+        vox_lane0 = len(lanes)
+        zbin = jnp.floor(z / geom.resolution).astype(jnp.int32) % ZB
+        onehot = jnp.where(
+            valid[:, :, None]
+            & (zbin[:, :, None] == jnp.arange(ZB, dtype=jnp.int32)),
+            jnp.int32(0),
+            _IMAX,
+        )
+        upd = jnp.concatenate([jnp.stack(lanes, axis=2), onehot], axis=2)
+    else:
+        upd = jnp.stack(lanes, axis=2)
+    L = upd.shape[2]
+
+    stride = ncell + 1
+    koff = (jnp.arange(K, dtype=jnp.int32) * stride)[:, None]
+    t = (
+        jnp.full((K * stride, L), _IMAX, dtype=jnp.int32)
+        .at[(ids + koff).reshape(-1)]
+        .min(upd.reshape(-1, L))
+    ).reshape(K, stride, L)[:, :ncell]
+
+    packed_t = t[:, :, 0]
+    touched = packed_t != _IMAX
+    amin = jnp.minimum(
+        packed_t & jnp.int32((1 << idx_bits) - 1), jnp.int32(n - 1)
+    )
+    min_z = _i32_ordered_f32(t[:, :, 1])
+    max_z = -_i32_ordered_f32(t[:, :, 2])
+    max_intensity = None
+    if intensity is not None:
+        mi = -_i32_ordered_f32(t[:, :, int_lane])
+        max_intensity = jnp.where(jnp.isfinite(mi), mi, jnp.nan).reshape(
+            (K,) + shape
+        )
+
+    extra_f32 = None
+    if extra_min_scatter is not None:
+        e_ids, e_vals, e_size = extra_min_scatter
+        ekoff = (jnp.arange(K, dtype=jnp.int32) * e_size)[:, None]
+        et = (
+            jnp.full(K * e_size, _IMAX, dtype=jnp.int32)
+            .at[(e_ids + ekoff).reshape(-1)]
+            .min(_f32_ordered_i32(e_vals).reshape(-1))
+        ).reshape(K, e_size)[:, : e_size - 1]
+        extra_f32 = jnp.where(et == _IMAX, _INF, _i32_ordered_f32(et))
+
+    _i32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
+    _f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)  # noqa: E731
+    nkoff = (jnp.arange(K, dtype=jnp.int32) * n)[:, None]
+    if ncell <= 2 * n:
+        if color_packed is not None:
+            rowbuf = jnp.stack(
+                [_i32(z_var), _i32(color_packed)], axis=2
+            ).reshape(K * n, 2)
+            g2 = rowbuf[(amin + nkoff).reshape(-1)].reshape(K, ncell, 2)
+            min_z_var = _f32(g2[:, :, 0])
+            color = jnp.where(touched, _f32(g2[:, :, 1]), jnp.nan).reshape(
+                (K,) + shape
+            )
+        else:
+            min_z_var = _f32(
+                _i32(z_var).reshape(-1)[(amin + nkoff).reshape(-1)]
+            ).reshape(K, ncell)
+            color = None
+        if phase_gather_rider is not None:
+            rider_buf, rider_idx = phase_gather_rider(extra_f32)
+            M = rider_buf.shape[1]
+            rkoff = (jnp.arange(K, dtype=jnp.int32) * M)[:, None]
+            extra = _f32(
+                _i32(rider_buf).reshape(-1)[(rider_idx + rkoff).reshape(-1)]
+            ).reshape(K, -1)
+        else:
+            extra = extra_f32
+    else:
+        gather_ids = jnp.minimum(ids, ncell - 1)
+        amin_flat = amin.reshape(-1)
+        ckoff = (jnp.arange(K, dtype=jnp.int32) * ncell)[:, None]
+        amin_at_pt = amin_flat[(gather_ids + ckoff).reshape(-1)].reshape(K, n)
+        if phase_gather_rider is not None:
+            rider_buf, rider_idx = phase_gather_rider(extra_f32)
+            M = rider_buf.shape[1]
+            rkoff = (jnp.arange(K, dtype=jnp.int32) * M)[:, None]
+            extra = _f32(
+                _i32(rider_buf).reshape(-1)[(rider_idx + rkoff).reshape(-1)]
+            ).reshape(K, -1)
+        else:
+            extra = extra_f32
+        at_min = valid & (amin_at_pt == iota)
+        lanes2 = [jnp.where(at_min, _f32_ordered_i32(z_var), _IMAX)]
+        if color_packed is not None:
+            lanes2.append(
+                jnp.where(at_min, _f32_ordered_i32(color_packed), _IMAX)
+            )
+        t2 = (
+            jnp.full((K * stride, len(lanes2)), _IMAX, dtype=jnp.int32)
+            .at[(ids + koff).reshape(-1)]
+            .min(jnp.stack(lanes2, axis=2).reshape(-1, len(lanes2)))
+        ).reshape(K, stride, len(lanes2))[:, :ncell]
+        min_z_var = _i32_ordered_f32(t2[:, :, 0])
+        color = None
+        if color_packed is not None:
+            color = jnp.where(
+                touched, _i32_ordered_f32(t2[:, :, 1]), jnp.nan
+            ).reshape((K,) + shape)
+
+    voxel_count = None
+    if vox_in_rows:
+        voxel_count = (
+            jnp.sum(t[:, :, vox_lane0 : vox_lane0 + ZB] == 0, axis=2)
+            .astype(jnp.float32)
+            .reshape((K,) + shape)
+        )
+    elif with_voxel_count and voxel_count_mode == "span":
+        lo = jnp.floor(min_z / geom.resolution)
+        hi = jnp.floor(max_z / geom.resolution)
+        voxel_count = jnp.where(
+            touched, jnp.clip(hi - lo + 1.0, 1.0, 32.0), 0.0
+        ).reshape((K,) + shape)
+    elif with_voxel_count:
+        from fastdem_tpu.cloud.filters import voxel_unique_mask
+
+        vm = jax.vmap(voxel_unique_mask, in_axes=(0, 0, None))(
+            xyz, valid, geom.resolution
+        )
+        voxel_count = (
+            jnp.zeros(K * stride, dtype=jnp.float32)
+            .at[(ids + koff).reshape(-1)]
+            .add(vm.astype(jnp.float32).reshape(-1))
+        ).reshape(K, stride)[:, :ncell].reshape((K,) + shape)
+
+    nan = jnp.nan
+    return CellObservations(
+        min_z=jnp.where(touched, min_z, nan).reshape((K,) + shape),
+        min_z_var=jnp.where(touched, min_z_var, nan).reshape((K,) + shape),
+        max_z=jnp.where(touched, max_z, nan).reshape((K,) + shape),
+        touched=touched.reshape((K,) + shape),
         max_intensity=max_intensity,
         color=color,
         voxel_count=voxel_count,

@@ -201,7 +201,18 @@ def polar_resample(
         geom, position, sensor_origin, num_azimuth, range_bin_factor,
         max_range,
     )
-    if exact_window:
+    # Aligned tile-row lookups beat element gathers ~5x on TPU
+    # (ops/rowgather.py); A is a power of two >= 128 in every preset.
+    if num_azimuth % 128 == 0:
+        from fastdem_tpu.ops.rowgather import tile_row_gather
+
+        flat = smeared.reshape(-1)
+        h_cell = tile_row_gather(flat, r_idx * num_azimuth + a0)
+        if not exact_window:
+            h_cell = jnp.minimum(
+                h_cell, tile_row_gather(flat, r_idx * num_azimuth + a1)
+            )
+    elif exact_window:
         h_cell = smeared[r_idx, a0]
     else:
         h_cell = jnp.minimum(smeared[r_idx, a0], smeared[r_idx, a1])

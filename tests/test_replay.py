@@ -193,6 +193,58 @@ def test_fused_matches_step_loop(geom, rng, raycast):
     _assert_states_equal(s_fused, s_loop)
 
 
+@pytest.mark.parametrize("raycast", [False, True])
+def test_microbatch_matches_step_loop(geom, rng, raycast):
+    """microbatch>1 flattens K consecutive scans' irregular ops into single
+    offset-index device ops (rasterize_scatter_rows_batched); the map state
+    must match the sequential loop on every decision layer (the vmapped
+    dense prep may FMA-reassociate at polar-bin boundaries — the
+    raycasting-layer tolerance absorbs it). LOCAL mode + a sparse frame +
+    intensity cover the position walk, masking, and channel paths."""
+    cfg = Config()
+    cfg.mapping.mode = MappingMode.LOCAL
+    cfg.raycasting.enabled = raycast
+    K, N = 8, 4096
+    xyz, poses = _scans(K, N, rng, step_x=0.4)
+    mask = np.ones((K, N), dtype=bool)
+    mask[3, 500:] = False
+    intensity = rng.random((K, N)).astype(np.float32)
+    T_bs = np.eye(4, dtype=np.float32)
+    T_bs[2, 3] = 1.0
+
+    step = build_integrate(geom, cfg, has_intensity=True, donate=False)
+    s_loop = create_map_state(geom, cfg, has_intensity=True)
+    for k in range(K):
+        s_loop, _ = step(
+            s_loop, jnp.asarray(xyz[k]), jnp.asarray(mask[k]),
+            jnp.asarray(T_bs), jnp.asarray(poses[k]),
+            jnp.asarray(intensity[k]),
+        )
+
+    seq = build_integrate_sequence(
+        geom, cfg, has_intensity=True, donate=False, microbatch=4
+    )
+    s_mb = seq(
+        create_map_state(geom, cfg, has_intensity=True),
+        jnp.asarray(xyz), jnp.asarray(mask),
+        jnp.asarray(T_bs), jnp.asarray(poses), jnp.asarray(intensity),
+    )
+    _assert_states_equal(s_mb, s_loop)
+
+
+def test_microbatch_requires_divisible_k(geom, rng):
+    cfg = Config()
+    K, N = 5, 1024
+    xyz, poses = _scans(K, N, rng)
+    seq = build_integrate_sequence(geom, cfg, donate=False, microbatch=4)
+    with pytest.raises(ValueError, match="multiple of microbatch"):
+        seq(
+            create_map_state(geom, cfg),
+            jnp.asarray(xyz), jnp.asarray(np.ones((K, N), bool)),
+            jnp.asarray(np.eye(4, dtype=np.float32)), jnp.asarray(poses),
+        )
+
+
 def test_fused_local_mode_follows_robot(geom, rng):
     """LOCAL-mode positions are precomputed as a pose lattice walk inside
     the fused program; the final position and moved layers must match the
