@@ -147,6 +147,11 @@ class RaycastingConfig:
     # exactness-first mode (every traversed cell sampled like the DDA;
     # ~2 orders of magnitude more scatter elements, offline use).
     method: str = "polar"
+    # TPU extension: dense polar-field implementation. "auto" = the Pallas
+    # VMEM-resident kernel on TPU (ops/pallas_polar.py — one HBM
+    # round-trip instead of ~30; requires num_azimuth_bins % 128 == 0),
+    # the XLA formulation elsewhere; "xla"/"pallas" force one.
+    polar_field_impl: str = "auto"
 
 
 @dataclasses.dataclass
@@ -297,6 +302,7 @@ def _parse(root: Mapping) -> Config:
         _load(n, "max_range", cfg.raycasting, "max_range")
         _load(n, "voxel_count_mode", cfg.raycasting, "voxel_count_mode", str)
         _load(n, "method", cfg.raycasting, "method", str)
+        _load(n, "polar_field_impl", cfg.raycasting, "polar_field_impl", str)
     n = root.get("sensor_model")
     if n:
         if n.get("type"):
@@ -369,6 +375,10 @@ def validate(cfg: Config) -> None:
         warn_default(
             "raycasting.method", rc, "method",
             lambda v: v in ("polar", "sampled"), "polar",
+        )
+        warn_default(
+            "raycasting.polar_field_impl", rc, "polar_field_impl",
+            lambda v: v in ("auto", "xla", "pallas"), "auto",
         )
         warn_default(
             "raycasting.num_azimuth_bins", rc, "num_azimuth_bins",

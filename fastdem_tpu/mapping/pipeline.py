@@ -185,6 +185,7 @@ def build_integrate(
     ray_exact_window: bool = True,
     scatter_mode: str = "rows",
     voxel_count_mode: Optional[str] = None,
+    polar_field_impl: Optional[str] = None,
 ):
     """Compile the per-scan integrate step.
 
@@ -206,6 +207,7 @@ def build_integrate(
     phase_a, phase_b, moved_position, _ = _build_phases(
         geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
         scatter_mode, voxel_count_mode, ray_exact_window,
+        polar_field_impl=polar_field_impl,
     )
     local_mode = cfg.mapping.mode == MappingMode.LOCAL
 
@@ -242,6 +244,7 @@ def _build_phases(
     scatter_mode: str,
     voxel_count_mode: Optional[str],
     ray_exact_window: bool = True,
+    polar_field_impl: Optional[str] = None,
 ):
     """Split the integrate step into:
 
@@ -438,6 +441,9 @@ def _build_phases(
                     geom, sensor_origin, polar_table,
                     ray_num_azimuth, ray_range_bin_factor, ray_max_range,
                     exact_window=ray_exact_window,
+                    impl=polar_field_impl
+                    if polar_field_impl is not None
+                    else cfg.raycasting.polar_field_impl,
                 )
                 return smeared.reshape(-1), flat_idx
 
@@ -579,11 +585,14 @@ def _build_phases(
                 flat_idx = jnp.concatenate([flat0, flat1], axis=1)
 
             def rider(polar_tables):
+                # impl pinned to "xla": the microbatch harness vmaps the
+                # field realization, and pallas_call under vmap is not a
+                # supported/validated path here.
                 smeared = jax.vmap(
                     lambda so, tbl: raycast.polar_smeared_field(
                         geom, so, tbl, ray_num_azimuth,
                         ray_range_bin_factor, ray_max_range,
-                        exact_window=ray_exact_window,
+                        exact_window=ray_exact_window, impl="xla",
                     )
                 )(sensor_origin, polar_tables)
                 return smeared.reshape(Kb, -1), flat_idx
@@ -721,9 +730,13 @@ def build_integrate_fused(
     and because the phase split it motivated also serves
     build_integrate; prefer build_integrate_sequence for replay.
     """
+    # The fused builder vmaps phase_a over K scans; a vmapped pallas_call
+    # turns the polar-field kernel's block into [K, R, A] and blows the
+    # 16 MB VMEM budget — pin the XLA formulation here.
     phase_a, phase_b, moved_position, _ = _build_phases(
         geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
         scatter_mode, voxel_count_mode, ray_exact_window,
+        polar_field_impl="xla",
     )
     local_mode = cfg.mapping.mode == MappingMode.LOCAL
 

@@ -449,19 +449,18 @@ def rasterize_scatter_packed(
     # patterns (packed colors, bitcast indices) to zero — int32 addition
     # with 0 is exact. Gathers are dtype-neutral on this backend
     # (BENCH_NOTES.md), so this costs nothing.
-    from fastdem_tpu.ops.rowgather import tile_row_gather
+    from fastdem_tpu.ops.rowgather import producer_gather, tile_row_gather
 
     if ncell <= 2 * n:
-        # Cell path: tile-row lookups of z/var/color at the argmin and of
-        # the rider's polar field (aligned row fetches + dense lane select
-        # run ~5x faster than element gathers here — ops/rowgather.py;
-        # split per buffer, tools/bench_rowops3.py).
-        min_z = tile_row_gather(z, amin)
-        min_z_var = tile_row_gather(z_var, amin)
+        # Cell path: size-thresholded producer gathers for the argmin
+        # channels (z/var/color), tile-row for the rider's materialized
+        # polar field (gather policy note in rasterize_scatter_rows).
+        min_z = producer_gather(z, amin)
+        min_z_var = producer_gather(z_var, amin)
         color = None
         if color_packed is not None:
             color = jnp.where(
-                touched, tile_row_gather(color_packed, amin), jnp.nan
+                touched, producer_gather(color_packed, amin), jnp.nan
             ).reshape(shape)
         if phase_gather_rider is not None:
             rider_buf, rider_idx = phase_gather_rider(extra_f32)
@@ -667,23 +666,26 @@ def rasterize_scatter_rows(
         extra_f32 = jnp.where(et == _IMAX, _INF, _i32_ordered_f32(et))
 
     # ---- Argmin-carried channels: variance [+ color] of the min point.
-    # All lookups go through ops.rowgather.tile_row_gather: aligned
-    # tile-row fetches + dense lane select run ~5x faster than element
-    # gathers on this backend (0.027 vs 0.15 ms for the variance lookup,
-    # 0.09 vs 0.42 for the rider field — tools/bench_perop.py,
-    # bench_rowgather2.py) and are exact (int32 bitcast path; GSPMD-safe).
-    # Gathers stay SPLIT per buffer: per-index serialization means fusion
-    # saves nothing while the concat materializes the big rider field
-    # every step (0.586 split vs 0.697 fused, tools/bench_rowops3.py).
-    # Cell path when the map is small relative to the scan, per-point
-    # path otherwise.
-    from fastdem_tpu.ops.rowgather import tile_row_gather
+    # Gather policy (same-session A/Bs, tools/bench_sweep_r2c.py +
+    # bench_perop.py): lookups into MATERIALIZED buffers (the rider's
+    # polar field, the amin table — scatter outputs) go through
+    # ops.rowgather.tile_row_gather (aligned tile-row fetch + dense lane
+    # select, ~5x faster than element gathers: 0.086 vs 0.42 ms for the
+    # rider field); lookups whose source is a fusable elementwise
+    # PRODUCER (z_var, packed color) use the size-thresholded
+    # producer_gather — tile-row when the producer is small (-0.21 ms at
+    # 30K pts), flat above 64K elements so XLA fuses the producer into
+    # the gather instead of materializing it (+0.5 ms on RGB-D 300K
+    # otherwise). Gathers stay SPLIT per buffer (0.586 split vs 0.697
+    # concat-fused, tools/bench_rowops3.py). Cell path when the map is
+    # small relative to the scan, per-point path otherwise.
+    from fastdem_tpu.ops.rowgather import producer_gather, tile_row_gather
 
     if ncell <= 2 * n:
-        min_z_var = tile_row_gather(z_var, amin)
+        min_z_var = producer_gather(z_var, amin)
         if color_packed is not None:
             color = jnp.where(
-                touched, tile_row_gather(color_packed, amin), jnp.nan
+                touched, producer_gather(color_packed, amin), jnp.nan
             ).reshape(shape)
         else:
             color = None

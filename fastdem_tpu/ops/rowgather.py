@@ -19,10 +19,48 @@ same rationale as rasterize.rasterize_scatter_packed's fused gathers).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 _LANES = 128
+
+# A/B kill switch: plain element gathers instead. Read at TRACE time, so
+# flipping it between builds compares both variants in one process
+# (tools/bench_sweep_r2c.py); the env var sets the initial value.
+_DISABLED = os.environ.get("FASTDEM_TILE_ROW_GATHER", "1") in ("0", "false")
+
+
+def set_enabled(enabled: bool) -> None:
+    global _DISABLED
+    _DISABLED = not enabled
+
+
+# Producer-sourced gathers (z, z_var, packed color — fusable elementwise
+# producers, not materialized buffers): tile-row wins when the producer is
+# small (30K pts: -0.21 ms on the Kalman config) but forces a full [n]
+# materialization that loses when it is large (300K pts: +0.5 ms on
+# RGB-D) — same-session A/Bs in tools/bench_sweep_r2c.py. Above this
+# element count the flat gather is used so XLA fuses the producer and
+# computes only the gathered elements.
+_PRODUCER_MAX = int(os.environ.get("FASTDEM_TILE_ROW_PRODUCER_MAX", 65536))
+
+
+def set_producer_threshold(max_elements: int) -> None:
+    global _PRODUCER_MAX
+    _PRODUCER_MAX = max_elements
+
+
+def producer_gather(buf: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``buf[idx]`` for a buffer that is (typically) a fusable elementwise
+    producer: tile-row below the size threshold, flat element gather (via
+    an int32 bitcast — exact under GSPMD zero-fill+sum combining) above.
+    """
+    if _DISABLED or buf.shape[0] > _PRODUCER_MAX:
+        g = jax.lax.bitcast_convert_type(buf, jnp.int32)[idx]
+        return jax.lax.bitcast_convert_type(g, buf.dtype)
+    return tile_row_gather(buf, idx)
 
 
 def tile_row_gather(buf: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -37,6 +75,8 @@ def tile_row_gather(buf: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         raise ValueError(f"buf must be flat, got shape {buf.shape}")
     if buf.dtype.itemsize != 4:
         raise ValueError(f"4-byte dtypes only, got {buf.dtype}")
+    if _DISABLED:
+        return buf[idx]
     orig_dtype = buf.dtype
     m = buf.shape[0]
     bi = jax.lax.bitcast_convert_type(buf, jnp.int32)

@@ -109,8 +109,12 @@ def build_sharded_integrate(
     over the mesh, scan arrays replicated. Returns (step_fn, shard_fn)."""
     from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
 
+    # polar_field_impl pinned to "xla": the Pallas polar kernel is
+    # validated single-chip; under GSPMD the custom-call's partitioning is
+    # not — the XLA formulation partitions like any dense op.
     raw = build_integrate(
-        geom, cfg, has_intensity, has_color, jit=False
+        geom, cfg, has_intensity, has_color, jit=False,
+        polar_field_impl="xla",
     )
     proto = create_map_state(geom, cfg, (0.0, 0.0), has_intensity, has_color)
     st_sh = state_shardings(mesh, proto)
@@ -170,6 +174,7 @@ def build_sharded_integrate_sequence(
         create_map_state,
     )
 
+    seq_kwargs.setdefault("polar_field_impl", "xla")  # see above
     raw = build_integrate_sequence(
         geom, cfg, has_intensity, has_color, jit=False, **seq_kwargs
     )

@@ -186,6 +186,7 @@ def polar_resample(
     range_bin_factor: float = 0.5,
     max_range: Optional[float] = None,
     exact_window: bool = False,
+    impl: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Continue from the scattered [R*A] min slopes to per-cell heights.
 
@@ -195,7 +196,7 @@ def polar_resample(
     """
     smeared = polar_smeared_field(
         geom, sensor_origin, scat_flat, num_azimuth, range_bin_factor,
-        max_range, exact_window=exact_window,
+        max_range, exact_window=exact_window, impl=impl,
     )
     a0, a1, r_idx, in_range = resample_indices(
         geom, position, sensor_origin, num_azimuth, range_bin_factor,
@@ -228,8 +229,31 @@ def polar_smeared_field(
     range_bin_factor: float = 0.5,
     max_range: Optional[float] = None,
     exact_window: bool = False,
+    impl: str = "xla",
 ) -> jnp.ndarray:
-    """Scattered [R*A] min slopes -> azimuth-smeared height field [R, A]."""
+    """Scattered [R*A] min slopes -> azimuth-smeared height field [R, A].
+
+    ``impl``: "xla" (this formulation — ~30 dense passes, each an HBM
+    round trip), "pallas" (ops/pallas_polar.py — the whole tail in VMEM,
+    one HBM round trip; TPU only, needs num_azimuth % 128 == 0), or
+    "auto" (pallas when the backend is TPU and the shape qualifies).
+    Results agree to f32 FMA-contraction tolerance (<4e-6 on heights;
+    identical finite sets — tests/test_rowops.py)."""
+    if impl not in ("xla", "pallas", "auto"):
+        raise ValueError(f"unknown polar_field_impl: {impl!r}")
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu" and num_azimuth % 128 == 0
+            else "xla"
+        )
+    if impl == "pallas":
+        from fastdem_tpu.ops.pallas_polar import polar_smeared_field_pallas
+
+        return polar_smeared_field_pallas(
+            geom, sensor_origin, scat_flat, num_azimuth,
+            range_bin_factor, max_range, exact_window=exact_window,
+        )
     A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor, max_range)
     scat = scat_flat.reshape(R, A)
     ms = jax.lax.cummin(scat, axis=0, reverse=True)
@@ -484,7 +508,7 @@ def apply_raycasting(
         ray_min, ray_touched = polar_resample(
             geom, state.position, sensor_origin, polar_table,
             num_azimuth=num_azimuth, range_bin_factor=range_bin_factor,
-            max_range=max_range,
+            max_range=max_range, impl=cfg.polar_field_impl,
         )
     elif method == "polar":
         ray_min, ray_touched = ray_min_height_polar(
