@@ -242,9 +242,18 @@ def polar_smeared_field(
     if impl not in ("xla", "pallas", "auto"):
         raise ValueError(f"unknown polar_field_impl: {impl!r}")
     if impl == "auto":
+        # The kernel holds the field (in + out + a working copy) in VMEM
+        # (~16 MB budget): large fields (long-range raycast on global
+        # maps) must stay on the XLA path. 12 MB leaves headroom for
+        # Mosaic's scoped allocations (a [64,520,2048] vmapped block
+        # measured 16.25M > limit).
+        A_, R_, _dr = polar_dims(geom, num_azimuth, range_bin_factor, max_range)
+        field_bytes = 2 * (math.ceil(R_ / 8) * 8) * A_ * 4
         impl = (
             "pallas"
-            if jax.default_backend() == "tpu" and num_azimuth % 128 == 0
+            if jax.default_backend() == "tpu"
+            and num_azimuth % 128 == 0
+            and field_bytes <= 12 * 1024 * 1024
             else "xla"
         )
     if impl == "pallas":
