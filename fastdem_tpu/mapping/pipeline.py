@@ -172,6 +172,31 @@ def _update_color(state: GridMapState, obs: raster.CellObservations):
     )
 
 
+def _expand_obs(
+    geom: GridGeometry, obs: raster.CellObservations, win_rc
+) -> raster.CellObservations:
+    """Expand window-shaped CellObservations to the full map (NaN / False /
+    0 outside the window) for the aux-callback surface."""
+    r0, c0 = win_rc[0], win_rc[1]
+
+    def put(f, fill, dtype=None):
+        if f is None:
+            return None
+        full = jnp.full(geom.shape, fill, dtype=dtype or f.dtype)
+        return jax.lax.dynamic_update_slice(full, f, (r0, c0))
+
+    return raster.CellObservations(
+        min_z=put(obs.min_z, jnp.nan),
+        min_z_var=put(obs.min_z_var, jnp.nan),
+        max_z=put(obs.max_z, jnp.nan),
+        touched=put(obs.touched, False),
+        max_intensity=put(obs.max_intensity, jnp.nan),
+        color=put(obs.color, jnp.nan),
+        voxel_count=put(obs.voxel_count, 0.0),
+        extra=obs.extra,
+    )
+
+
 def build_integrate(
     geom: GridGeometry,
     cfg: Config,
@@ -186,6 +211,7 @@ def build_integrate(
     scatter_mode: str = "rows",
     voxel_count_mode: Optional[str] = None,
     polar_field_impl: Optional[str] = None,
+    window_update: Optional[bool] = None,
 ):
     """Compile the per-scan integrate step.
 
@@ -207,7 +233,7 @@ def build_integrate(
     phase_a, phase_b, moved_position, _ = _build_phases(
         geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
         scatter_mode, voxel_count_mode, ray_exact_window,
-        polar_field_impl=polar_field_impl,
+        polar_field_impl=polar_field_impl, window_update=window_update,
     )
     local_mode = cfg.mapping.mode == MappingMode.LOCAL
 
@@ -224,7 +250,11 @@ def build_integrate(
         )
         pa = phase_a(position, xyz, mask, T_bs, T_wb, intensity, color_packed)
         state = phase_b(state, T_wb, jnp.any(mask), pa)
-        obs, _ray, _origin, xyz_world, keep, z_var = pa
+        obs, _ray, _origin, xyz_world, keep, z_var, win_rc = pa
+        if win_rc is not None:
+            # Windowed update: the aux callbacks see full-map observations
+            # (expanded here; DCE'd when the caller discards aux).
+            obs = _expand_obs(geom, obs, win_rc)
         aux = IntegrateAux(
             world_xyz=xyz_world, world_mask=keep, z_var=z_var, obs=obs
         )
@@ -245,6 +275,7 @@ def _build_phases(
     voxel_count_mode: Optional[str],
     ray_exact_window: bool = True,
     polar_field_impl: Optional[str] = None,
+    window_update: Optional[bool] = None,
 ):
     """Split the integrate step into:
 
@@ -285,24 +316,7 @@ def _build_phases(
         # the polar ray field (it exists as the RGB-D-scale A/B; VERDICT
         # r1 #5).
         raise ValueError('scatter_mode="sort" requires raycasting disabled')
-    if scatter_mode == "rows" and geom.num_cells > (1 << 19):
-        # TPU arrays pad the minor dim to 128 lanes, so the row table's
-        # PHYSICAL size is (ncell+1) x 128 x 4 B regardless of L — a 200 m
-        # global map (4M cells) would re-initialize ~2 GB per scan
-        # (measured: 4.1 vs 2.4 ms/scan no-raycast). Large maps fall back
-        # to the flat packed formulation, whose tables scale with lanes
-        # actually used.
-        scatter_mode = "packed"
-    if scatter_mode in ("rows", "packed"):
-        import functools
-
-        raster_fn = functools.partial(
-            raster.rasterize_scatter_rows
-            if scatter_mode == "rows"
-            else raster.rasterize_scatter_packed,
-            voxel_count_mode=voxel_count_mode,
-        )
-    elif scatter_mode == "sort":
+    if scatter_mode == "sort":
         def raster_fn(geom_, position_, xyz_, mask_, zv_, intensity=None,
                       color_packed=None, with_voxel_count=False,
                       extra_min_scatter=None, phase_gather_rider=None):
@@ -347,6 +361,50 @@ def _build_phases(
         if ray_max_range is None or ray_max_range > local_bound:
             ray_max_range = local_bound
 
+    # ---- Update window: O(range^2) per-scan cost on large maps ----
+    # Every cell a scan can touch lies within the range bound of the
+    # sensor (points pass the range filter in the BASE frame; the bound
+    # carries a 2 m base->sensor margin — same analysis as the polar-field
+    # bound above), so BOTH the rasterizer's scatter tables and the dense
+    # map update (estimator recurrence, min/max/obstacle, raycast
+    # log-odds) can run on a window of ~2*bound extent dynamic-sliced
+    # around the sensor and written back with one dynamic_update_slice per
+    # layer. On a 200 m global map this turns ~25 full 4M-cell layer
+    # passes per scan into 160K-cell passes. Identical results: window
+    # membership only re-bases scatter ids, and every touched cell is in
+    # the window by the bound. Enabled when the window is at most half the
+    # map (else the slice/write-back overhead buys nothing).
+    if ray_max_range is not None:
+        _wcells = int(math.ceil(2.0 * ray_max_range / geom.resolution)) + 4
+        upd_wr, upd_wc = min(geom.rows, _wcells), min(geom.cols, _wcells)
+    else:
+        upd_wr, upd_wc = geom.rows, geom.cols
+    windowed = (
+        window_update is not False
+        and scatter_mode in ("rows", "packed")
+        and 2 * upd_wr * upd_wc <= geom.num_cells
+        and not (cfg.raycasting.enabled and cfg.raycasting.method == "sampled")
+    )
+    eff_cells = upd_wr * upd_wc if windowed else geom.num_cells
+    if scatter_mode == "rows" and eff_cells > (1 << 19):
+        # TPU arrays pad the minor dim to 128 lanes, so the row table's
+        # PHYSICAL size is (cells+1) x 128 x 4 B regardless of L — an
+        # unwindowed 200 m global map (4M cells) would re-initialize ~2 GB
+        # per scan (measured: 4.1 vs 2.4 ms/scan no-raycast). Falls back
+        # to the flat packed formulation, whose tables scale with lanes
+        # actually used. (Windowed maps size the table by the window, so
+        # rows mode usually survives.)
+        scatter_mode = "packed"
+    if scatter_mode in ("rows", "packed"):
+        import functools
+
+        raster_fn = functools.partial(
+            raster.rasterize_scatter_rows
+            if scatter_mode == "rows"
+            else raster.rasterize_scatter_packed,
+            voxel_count_mode=voxel_count_mode,
+        )
+
     def moved_position(position, target_xy):
         # Must match gridmap.move's arithmetic exactly (grid/gridmap.py).
         res = geom.resolution
@@ -378,6 +436,20 @@ def _build_phases(
         ray_window = None
         sensor_origin = T_ws[:3, 3]
         ray_sampled = None
+
+        # Sensor-centered update window (see the build-time block above).
+        upd_window = None
+        if windowed:
+            sr, sc, _ = geom.index_of(position, sensor_origin[:2])
+            ur0 = jnp.clip(
+                jnp.clip(sr, 0, geom.rows) - upd_wr // 2,
+                0, geom.rows - upd_wr,
+            )
+            uc0 = jnp.clip(
+                jnp.clip(sc, 0, geom.cols) - upd_wc // 2,
+                0, geom.cols - upd_wc,
+            )
+            upd_window = (ur0, uc0, upd_wr, upd_wc)
         if cfg.raycasting.enabled and cfg.raycasting.method == "sampled":
             # Exactness-first mode: per-ray segment sampling at
             # dt <= res/sqrt(2) — every traversed cell is sampled like
@@ -399,22 +471,28 @@ def _build_phases(
 
             # The per-cell field lookups are the map-size-scaling cost of
             # raycasting; on maps larger than the ray range, resample only
-            # a sensor-centered window (rays cannot reach farther).
-            if ray_max_range is not None:
-                wcells = (
-                    int(math.ceil(2.0 * ray_max_range / geom.resolution)) + 4
-                )
-                wr = min(geom.rows, wcells)
-                wc = min(geom.cols, wcells)
+            # a sensor-centered window (rays cannot reach farther). With
+            # the update window active, the resample uses the SAME window
+            # (same bound, same formula).
+            if upd_window is not None:
+                ray_window = upd_window
             else:
-                wr, wc = geom.rows, geom.cols
-            if (wr, wc) != (geom.rows, geom.cols):
-                sr, sc, _ = geom.index_of(position, sensor_origin[:2])
-                r0 = jnp.clip(sr, 0, geom.rows) - wr // 2
-                r0 = jnp.clip(r0, 0, geom.rows - wr)
-                c0 = jnp.clip(sc, 0, geom.cols) - wc // 2
-                c0 = jnp.clip(c0, 0, geom.cols - wc)
-                ray_window = (r0, c0, wr, wc)
+                if ray_max_range is not None:
+                    wcells = (
+                        int(math.ceil(2.0 * ray_max_range / geom.resolution))
+                        + 4
+                    )
+                    wr = min(geom.rows, wcells)
+                    wc = min(geom.cols, wcells)
+                else:
+                    wr, wc = geom.rows, geom.cols
+                if (wr, wc) != (geom.rows, geom.cols):
+                    sr, sc, _ = geom.index_of(position, sensor_origin[:2])
+                    r0 = jnp.clip(sr, 0, geom.rows) - wr // 2
+                    r0 = jnp.clip(r0, 0, geom.rows - wr)
+                    c0 = jnp.clip(sc, 0, geom.cols) - wc // 2
+                    c0 = jnp.clip(c0, 0, geom.cols - wc)
+                    ray_window = (r0, c0, wr, wc)
 
             # Between the scatter phases, fold the raycaster's field
             # lookups into the rasterizer's min-z gather (gathers
@@ -447,6 +525,9 @@ def _build_phases(
                 )
                 return smeared.reshape(-1), flat_idx
 
+        kwargs = {}
+        if upd_window is not None:
+            kwargs["window"] = upd_window
         obs = raster_fn(
             geom,
             position,
@@ -458,6 +539,7 @@ def _build_phases(
             with_voxel_count=cfg.raycasting.enabled,
             extra_min_scatter=extra,
             phase_gather_rider=rider,
+            **kwargs,
         )
 
         # ---- Ray-field realization (the dense tail of the polar
@@ -483,14 +565,23 @@ def _build_phases(
                         obs.extra[nwin:].reshape(wr, wc),
                     )
                 touched_w = jnp.isfinite(h_cell_w) & ray_in_range
-                ray_min = jax.lax.dynamic_update_slice(
-                    jnp.full(geom.shape, jnp.nan),
-                    jnp.where(touched_w, h_cell_w, jnp.nan),
-                    (r0, c0),
-                )
-                ray_touched = jax.lax.dynamic_update_slice(
-                    jnp.zeros(geom.shape, dtype=bool), touched_w, (r0, c0)
-                )
+                if upd_window is not None:
+                    # Windowed update: phase B consumes window-shaped
+                    # fields directly — no full-map materialization.
+                    ray = (
+                        jnp.where(touched_w, h_cell_w, jnp.nan), touched_w
+                    )
+                else:
+                    ray_min = jax.lax.dynamic_update_slice(
+                        jnp.full(geom.shape, jnp.nan),
+                        jnp.where(touched_w, h_cell_w, jnp.nan),
+                        (r0, c0),
+                    )
+                    ray_touched = jax.lax.dynamic_update_slice(
+                        jnp.zeros(geom.shape, dtype=bool), touched_w,
+                        (r0, c0),
+                    )
+                    ray = (ray_min, ray_touched)
             else:
                 ncell = geom.num_cells
                 if ray_exact_window:
@@ -501,9 +592,14 @@ def _build_phases(
                     h_cell = jnp.minimum(h0, h1)
                 ray_touched = jnp.isfinite(h_cell) & ray_in_range
                 ray_min = jnp.where(ray_touched, h_cell, jnp.nan)
-            ray = (ray_min, ray_touched)
+                ray = (ray_min, ray_touched)
 
-        return obs, ray, sensor_origin, xyz_world, keep, z_var
+        win_rc = (
+            jnp.stack([upd_window[0], upd_window[1]])
+            if upd_window is not None
+            else None
+        )
+        return obs, ray, sensor_origin, xyz_world, keep, z_var, win_rc
 
     def phase_a_batched(
         positions, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None
@@ -648,25 +744,24 @@ def _build_phases(
                 ray_min = jnp.where(ray_touched, h_cell, jnp.nan)
             ray = (ray_min, ray_touched)
 
-        return obs, ray, sensor_origin, xyz_world, keep, z_var
+        return obs, ray, sensor_origin, xyz_world, keep, z_var, None
 
-    if scatter_mode != "rows" or (
-        cfg.raycasting.enabled and cfg.raycasting.method == "sampled"
+    if (
+        scatter_mode != "rows"
+        or windowed
+        or (cfg.raycasting.enabled and cfg.raycasting.method == "sampled")
     ):
+        # The batched harness does not implement the update window.
         phase_a_batched = None
 
-    def phase_b(state, T_wb, frame_nonempty, pa):
-        obs, ray, sensor_origin, _xyz_world, _keep, _z_var = pa
-        # ---- 2. Map update (elevation_mapping.cpp:110-125) ----
-        if local_mode:
-            state = gridmap.move(geom, state, T_wb[:2, 3])
+    def _update_layers(state, obs, ray, sensor_origin, frame_nonempty):
+        """Steps 2+3 of the map update on a (possibly window-shaped)
+        state whose layer shapes match ``obs``."""
         state = _estimate(state, cfg, obs)
         state = _update_minmax(state, obs)
         state = _update_obstacle(state, obs, frame_nonempty)
         state = _update_intensity(state, obs)
         state = _update_color(state, obs)
-
-        # ---- 3. Raycasting visibility update (src/raycasting.cpp) ----
         if cfg.raycasting.enabled:
             state = raycast.apply_raycasting(
                 geom,
@@ -682,6 +777,47 @@ def _build_phases(
                 frame_nonempty=frame_nonempty,
             )
         return state
+
+    def phase_b(state, T_wb, frame_nonempty, pa):
+        obs, ray, sensor_origin, _xyz_world, _keep, _z_var, win_rc = pa
+        # ---- 2.+3. Map update (elevation_mapping.cpp:110-125) + raycast
+        # visibility (src/raycasting.cpp) ----
+        if local_mode:
+            state = gridmap.move(geom, state, T_wb[:2, 3])
+        if not windowed:
+            return _update_layers(
+                state, obs, ray, sensor_origin, frame_nonempty
+            )
+
+        # Windowed update: run the identical per-cell recurrences on a
+        # dynamic-sliced window of every layer, then write back. Every
+        # touched cell is inside the window (build-time block above), so
+        # outside cells only need the per-frame-overwrite semantics of the
+        # obstacle and diagnostic ray layers: NaN when the frame is
+        # nonempty (the window write-back supplies the in-window values),
+        # untouched otherwise — exactly the full-map behavior.
+        r0, c0 = win_rc[0], win_rc[1]
+        views = {
+            k: jax.lax.dynamic_slice(v, (r0, c0), (upd_wr, upd_wc))
+            for k, v in state.layers.items()
+        }
+        vstate = GridMapState(layers=views, position=state.position)
+        vstate = _update_layers(
+            vstate, obs, ray, sensor_origin, frame_nonempty
+        )
+        overwrite_layers = (layers.obstacle, layers.raycasting)
+        new_layers = {}
+        for k, full in state.layers.items():
+            if k in overwrite_layers:
+                base = jnp.where(
+                    frame_nonempty, jnp.full_like(full, jnp.nan), full
+                )
+            else:
+                base = full
+            new_layers[k] = jax.lax.dynamic_update_slice(
+                base, vstate.layers[k], (r0, c0)
+            )
+        return GridMapState(layers=new_layers, position=state.position)
 
     return phase_a, phase_b, moved_position, phase_a_batched
 

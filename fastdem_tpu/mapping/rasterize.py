@@ -323,6 +323,7 @@ def rasterize_scatter_packed(
     extra_min_scatter=None,
     phase_gather_rider=None,
     voxel_count_mode: str = "exact",
+    window=None,
 ) -> CellObservations:
     """Single-scatter rasterization with argmin carry (fastest path).
 
@@ -359,14 +360,10 @@ def rasterize_scatter_packed(
     """
     if voxel_count_mode not in ("exact", "span"):
         raise ValueError(f"unknown voxel_count_mode: {voxel_count_mode!r}")
-    ncell = geom.num_cells
-    shape = geom.shape
     n = xyz.shape[0]
     idx_bits = max(1, (n - 1).bit_length())
     qmax = (1 << (31 - idx_bits)) - 1  # quantized-z levels
-    ids, inside = geom.cell_id_of(position, xyz[:, :2])
-    valid = mask & inside
-    ids = jnp.where(valid, ids, ncell)
+    ids, valid, ncell, shape = _window_ids(geom, position, xyz, mask, window)
     z = xyz[:, 2]
 
     # Per-scan dynamic z quantization for the argmin pack.
@@ -538,6 +535,33 @@ def rasterize_scatter_packed(
     )
 
 
+def _window_ids(geom, position, xyz, mask, window):
+    """Cell ids for scatter tables, optionally rebased into a window.
+
+    ``window`` = (r0, c0, wr, wc) with traced top-left and static extents:
+    ids become window-local (``(r - r0) * wc + (c - c0)``) over a
+    ``wr * wc`` table — the per-scan update cost then scales with the
+    sensor range, not the map area. Points outside the window are masked
+    like out-of-map points (the pipeline sizes the window from the point
+    filter's range bound + margin, so none exist — pipeline._build_phases).
+    Returns (ids, valid, ncell_eff, shape_eff).
+    """
+    if window is None:
+        ids, inside = geom.cell_id_of(position, xyz[:, :2])
+        valid = mask & inside
+        ncell = geom.num_cells
+        return jnp.where(valid, ids, ncell), valid, ncell, geom.shape
+    r0, c0, wr, wc = window
+    r, c, inside = geom.index_of(position, xyz[:, :2])
+    rl = r - r0
+    cl = c - c0
+    inside = inside & (rl >= 0) & (rl < wr) & (cl >= 0) & (cl < wc)
+    valid = mask & inside
+    ncell = wr * wc
+    ids = jnp.where(valid, rl * wc + cl, ncell)
+    return ids, valid, ncell, (wr, wc)
+
+
 def rasterize_scatter_rows(
     geom: GridGeometry,
     position: jnp.ndarray,
@@ -550,6 +574,7 @@ def rasterize_scatter_rows(
     extra_min_scatter=None,
     phase_gather_rider=None,
     voxel_count_mode: str = "exact",
+    window=None,
 ) -> CellObservations:
     """Row-widened single-index scatter rasterization (fastest path, r2).
 
@@ -585,14 +610,10 @@ def rasterize_scatter_rows(
     """
     if voxel_count_mode not in ("exact", "span"):
         raise ValueError(f"unknown voxel_count_mode: {voxel_count_mode!r}")
-    ncell = geom.num_cells
-    shape = geom.shape
     n = xyz.shape[0]
     idx_bits = max(1, (n - 1).bit_length())
     qmax = (1 << (31 - idx_bits)) - 1
-    ids, inside = geom.cell_id_of(position, xyz[:, :2])
-    valid = mask & inside
-    ids = jnp.where(valid, ids, ncell)
+    ids, valid, ncell, shape = _window_ids(geom, position, xyz, mask, window)
     z = xyz[:, 2]
 
     zlo = jnp.min(jnp.where(valid, z, _INF))

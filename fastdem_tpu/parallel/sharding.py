@@ -114,7 +114,7 @@ def build_sharded_integrate(
     # not — the XLA formulation partitions like any dense op.
     raw = build_integrate(
         geom, cfg, has_intensity, has_color, jit=False,
-        polar_field_impl="xla",
+        polar_field_impl="xla", window_update=False,
     )
     proto = create_map_state(geom, cfg, (0.0, 0.0), has_intensity, has_color)
     st_sh = state_shardings(mesh, proto)
@@ -175,6 +175,10 @@ def build_sharded_integrate_sequence(
     )
 
     seq_kwargs.setdefault("polar_field_impl", "xla")  # see above
+    # Windowed updates dynamic-slice across block shards (collectives per
+    # scan) — the sharded path keeps full-map updates, whose scatters stay
+    # shard-local.
+    seq_kwargs.setdefault("window_update", False)
     raw = build_integrate_sequence(
         geom, cfg, has_intensity, has_color, jit=False, **seq_kwargs
     )
