@@ -237,6 +237,20 @@ def main():
         )
         log("rgbd 300K pts local", ms3, c3)
 
+        # GLOBAL 200 m @ 0.1 m (4M cells), 20 m range: exercises the
+        # window-local update path (O(range^2) per scan; BENCH_NOTES.md).
+        from fastdem_tpu.config.config import MappingMode
+
+        def mut_global(cfg):
+            cfg.mapping.mode = MappingMode.GLOBAL
+            cfg.point_filter.range_max = 20.0
+
+        ms4, c4 = bench_pipeline(
+            max(4, args.scans // 4), args.points, mut_global, spread=18.0,
+            geom_m=200.0,
+        )
+        log("global 200m 4M cells + raycast", ms4, c4)
+
         # Post-processing chain on a snapshot (UF + inpaint + FE).
         import jax.numpy as jnp
 
