@@ -98,7 +98,8 @@ def make_stream(seed=7, K=6, N=8000, step_x=0.3):
 
 
 def run_reference(golden_gen, tmp, xyz, T_bs, poses, est, raycast, mode,
-                  pp=0, sensor="lidar", intensity=None, color=None):
+                  pp=0, sensor="lidar", intensity=None, color=None,
+                  size=(15.0, 15.0)):
     K, N = xyz.shape[:2]
     data = xyz
     if intensity is not None:
@@ -114,7 +115,8 @@ def run_reference(golden_gen, tmp, xyz, T_bs, poses, est, raycast, mode,
     out = tmp / "ref.npz"
     r = subprocess.run(
         [golden_gen, str(tmp / "scans.bin"), str(tmp / "poses.bin"),
-         str(out), est, str(raycast), mode, "15", "15", "0.1", str(pp),
+         str(out), est, str(raycast), mode, str(size[0]), str(size[1]),
+         "0.1", str(pp),
          sensor, "1" if intensity is not None else "0",
          "1" if color is not None else "0"],
         capture_output=True, text=True, timeout=300,
@@ -250,6 +252,63 @@ def test_p2_local_bitexact_vs_reference(golden_gen, tmp_path):
             np.asarray(state.layers[name]),
             err_msg=name,
         )
+
+
+def test_windowed_global_matches_reference(golden_gen, tmp_path):
+    """Window-local updates vs the reference on a GLOBAL map where the
+    window engages (40x40 m map, 8 m range bound -> ~216-cell window).
+
+    The reference has no range filter here; 8 m exceeds every synthetic
+    point's base-frame distance (rad <= 6 m, |z_base| <~ 2.5 m), so the
+    filter drops nothing and the layer-by-layer comparison isolates the
+    windowed dynamic-slice/update/write-back machinery. Tolerances mirror
+    the raycast envelope golden (the polar-vs-DDA deviation is the same
+    documented envelope; the windowing itself is exact —
+    tests/test_window_update.py)."""
+    from fastdem_tpu.mapping import pipeline as pl
+
+    xyz, T_bs, poses = make_stream()
+    sref = run_reference(golden_gen, tmp_path, xyz, T_bs, poses,
+                         "kalman", 1, "global", size=(40.0, 40.0))
+
+    cfg = Config()
+    cfg.mapping.mode = MappingMode.GLOBAL
+    cfg.raycasting.enabled = True
+    cfg.point_filter.range_max = 8.0
+    geom = GridGeometry.from_length(40.0, 40.0, 0.1)
+    # The window must actually engage for this test to mean anything.
+    _, _, _, pab = pl._build_phases(geom, cfg, None, None, None, "rows", None)
+    assert pab is None, "expected the windowed path (batched harness off)"
+    step = build_integrate(geom, cfg, donate=False)
+    state = create_map_state(geom, cfg)
+    K, N = xyz.shape[:2]
+    for k in range(K):
+        state, _ = step(
+            state, jnp.asarray(xyz[k]), jnp.ones(N, bool),
+            jnp.asarray(T_bs), jnp.asarray(poses[k]),
+        )
+
+    ncell = geom.num_cells
+    for name in sref.layers:
+        a = np.asarray(sref.layers[name])
+        b = np.asarray(state.layers[name])
+        if name == "raycasting":
+            nan_mis = int((np.isnan(a) != np.isnan(b)).sum())
+            assert nan_mis <= ncell * 0.02, name
+            both = np.isfinite(a) & np.isfinite(b)
+            p99 = float(np.percentile(np.abs(a[both] - b[both]), 99))
+            assert p99 < 0.12, f"raycasting p99 {p99}"
+        elif name == "_visibility_logodds":
+            both = np.isfinite(a) & np.isfinite(b)
+            diff = np.abs(a[both] - b[both])
+            touched = max(int(both.sum()), 1)
+            assert (diff > 1e-5).sum() / touched < 0.05, name
+            assert float(diff.max()) <= 1.0, name
+        elif name == "ghost_removal":
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b),
+                                          err_msg=name)
+        else:
+            assert_layer(a, b, name, 1e-6, nan_budget=int(ncell * 0.005))
 
 
 def test_raycast_matches_reference_within_envelope(golden_gen, tmp_path):
