@@ -90,7 +90,9 @@ def chain_time(step, state, scans, masks, tx, reps=3):
     raw = t1 / (reps * K) * 1e3
     if not diff:
         return raw, compile_s
-    ms = (t2 - t1) / (reps * K) * 1e3
+    # Clamp: timing noise can make the difference non-positive for
+    # sub-millisecond chains (the postprocess bench clamps the same way).
+    ms = max((t2 - t1) / (reps * K) * 1e3, 1e-4)
     print(
         f"    [chain: device {ms:.3f} ms/scan; raw K={K} quotient {raw:.3f} "
         f"incl. ~{max(raw - ms, 0.0):.3f} dispatch/scan]",

@@ -362,11 +362,13 @@ def _build_phases(
             ray_max_range = local_bound
 
     # ---- Update window: O(range^2) per-scan cost on large maps ----
-    # Every cell a scan can touch lies within the range bound of the
-    # sensor (points pass the range filter in the BASE frame; the bound
-    # carries a 2 m base->sensor margin — same analysis as the polar-field
-    # bound above), so BOTH the rasterizer's scatter tables and the dense
-    # map update (estimator recurrence, min/max/obstacle, raycast
+    # Every cell a scan can touch lies within the POINT FILTER's range
+    # bound of the sensor (points pass the filter in the BASE frame; the
+    # bound carries a 2 m base->sensor margin — same analysis as the
+    # polar-field bound above; rays end AT points, so the same bound
+    # covers ray-touched cells even when raycasting.max_range is set
+    # smaller/larger), so BOTH the rasterizer's scatter tables and the
+    # dense map update (estimator recurrence, min/max/obstacle, raycast
     # log-odds) can run on a window of ~2*bound extent dynamic-sliced
     # around the sensor and written back with one dynamic_update_slice per
     # layer. On a 200 m global map this turns ~25 full 4M-cell layer
@@ -374,8 +376,15 @@ def _build_phases(
     # membership only re-bases scatter ids, and every touched cell is in
     # the window by the bound. Enabled when the window is at most half the
     # map (else the slice/write-back overhead buys nothing).
-    if ray_max_range is not None:
-        _wcells = int(math.ceil(2.0 * ray_max_range / geom.resolution)) + 4
+    #
+    # NOTE: the window bound derives ONLY from the point filter, never
+    # from raycasting.max_range — that key bounds the polar ray FIELD
+    # (conservative) and must not gate which points rasterize.
+    upd_bound = (
+        float(pf.range_max) * 1.1 + 2.0 if pf.range_max < 1e6 else None
+    )
+    if upd_bound is not None:
+        _wcells = int(math.ceil(2.0 * upd_bound / geom.resolution)) + 4
         upd_wr, upd_wc = min(geom.rows, _wcells), min(geom.cols, _wcells)
     else:
         upd_wr, upd_wc = geom.rows, geom.cols
@@ -972,6 +981,10 @@ def build_integrate_sequence(
     if microbatch > 1:
         pa_kwargs = dict(step_kwargs)
         pa_kwargs.setdefault("scatter_mode", "rows")
+        # The batched harness implements neither the update window nor the
+        # vmapped Pallas field — pin both off (microbatch>1 implies
+        # full-map updates; the K-fold larger tables already dominate its
+        # economics, BENCH_NOTES.md).
         phase_a, phase_b, moved_position, phase_a_batched = _build_phases(
             geom,
             cfg,
@@ -981,13 +994,22 @@ def build_integrate_sequence(
             pa_kwargs.get("scatter_mode", "rows"),
             pa_kwargs.get("voxel_count_mode"),
             pa_kwargs.get("ray_exact_window", True),
+            polar_field_impl="xla",
+            window_update=False,
         )
+        if microbatch * (geom.num_cells + 1) > (1 << 21):
+            raise ValueError(
+                f"microbatch={microbatch} over {geom.num_cells} cells "
+                "would build a scatter table past the 128-lane physical "
+                "padding budget (~1 GB); reduce microbatch or the map size"
+            )
         if phase_a_batched is None:
             import logging
 
             logging.getLogger("fastdem_tpu").warning(
-                "microbatch=%d needs the 'rows' scatter path; falling back "
-                "to sequential phase A.",
+                "microbatch=%d needs the 'rows' scatter path (without the "
+                "sampled raycast method); falling back to sequential "
+                "phase A.",
                 microbatch,
             )
             microbatch = 1

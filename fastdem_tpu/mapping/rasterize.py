@@ -840,10 +840,12 @@ def rasterize_scatter_rows_batched(
     int_lane = len(lanes) - 1 if intensity is not None else None
 
     ZB = 32
+    # K-scaled guard: the batched table is K*(ncell+1) rows (each padded
+    # to 128 physical lanes), so the single-scan cap must shrink by K.
     vox_in_rows = (
         with_voxel_count
         and voxel_count_mode == "exact"
-        and (ncell + 1) * (len(lanes) + ZB) <= (1 << 23)
+        and K * (ncell + 1) * (len(lanes) + ZB) <= (1 << 23)
     )
     vox_lane0 = None
     if vox_in_rows:

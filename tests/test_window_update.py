@@ -122,6 +122,22 @@ def test_small_map_auto_stays_full():
     assert pab is not None
 
 
+def test_small_ray_max_range_does_not_shrink_window():
+    """raycasting.max_range bounds the polar ray FIELD only; the update
+    window must derive from the point filter — a small max_range must not
+    mask far points out of the rasterization (regression: the window was
+    briefly sized from ray_max_range)."""
+    cfg = Config()
+    cfg.mapping.mode = MappingMode.GLOBAL
+    cfg.point_filter.range_max = 6.0
+    cfg.raycasting.enabled = True
+    cfg.raycasting.max_range = 3.0  # << the point range
+    geom = GridGeometry.from_length(40.0, 40.0, 0.1)
+    s1, a1 = _run(geom, cfg, window_update=False)
+    s2, a2 = _run(geom, cfg, window_update=None)
+    _assert_exact(s1, a1, s2, a2)
+
+
 def test_sensor_near_map_edge_windowed_exact():
     """Window clamping at the map boundary must not change results."""
     cfg = Config()
