@@ -437,9 +437,10 @@ def _build_phases(
         )
         xyz_world = tfm.transform_points(xyz_base, T_wb)
 
-        # Fused-scatter formulation (scatter ops carry ~0.6 ms fixed cost
-        # on this backend): when raycasting is on, the polar slope scatter
-        # rides the rasterizer's phase-1 scatter.
+        # When raycasting is on, the polar slope scatter spec is handed to
+        # the rasterizer (rows mode runs it as its own flat scatter —
+        # per-INDEX economics, BENCH_NOTES.md; packed/twophase fuse it
+        # into their widened tables).
         extra = None
         rider = None
         ray_window = None
@@ -503,13 +504,12 @@ def _build_phases(
                     c0 = jnp.clip(c0, 0, geom.cols - wc)
                     ray_window = (r0, c0, wr, wc)
 
-            # Between the scatter phases, fold the raycaster's field
-            # lookups into the rasterizer's min-z gather (gathers
-            # serialize with a large fixed cost, like scatters). With
-            # ray_exact_window the smear already covers the exact azimuth
-            # window, so ONE lookup per cell replaces the two-gather
-            # sparse-table form (bitwise-identical heights, half the
-            # serialized gather elements).
+            # The raycaster's per-cell field lookups are realized inside
+            # the rasterizer (phase_gather_rider) as a tile-row gather.
+            # With ray_exact_window the smear already covers the exact
+            # azimuth window, so ONE lookup per cell replaces the
+            # two-gather sparse-table form (bitwise-identical heights,
+            # half the serialized gather indices).
             a0, a1, r_idx, ray_in_range = raycast.resample_indices(
                 geom, position, sensor_origin,
                 ray_num_azimuth, ray_range_bin_factor, ray_max_range,
@@ -877,11 +877,13 @@ def build_integrate_fused(
     """
     # The fused builder vmaps phase_a over K scans; a vmapped pallas_call
     # turns the polar-field kernel's block into [K, R, A] and blows the
-    # 16 MB VMEM budget — pin the XLA formulation here.
+    # 16 MB VMEM budget — pin the XLA formulation here. The update window
+    # is pinned off too (vmapped window extraction is untested and the
+    # fused path is an A/B harness).
     phase_a, phase_b, moved_position, _ = _build_phases(
         geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
         scatter_mode, voxel_count_mode, ray_exact_window,
-        polar_field_impl="xla",
+        polar_field_impl="xla", window_update=False,
     )
     local_mode = cfg.mapping.mode == MappingMode.LOCAL
 

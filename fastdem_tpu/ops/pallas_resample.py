@@ -16,6 +16,12 @@ formulation compiles in principle but projects only ~2x over XLA's 0.92 ms
 gather; revisit when per-element access lands or with that formulation.
 The kernel below is correct under interpret mode (tests) and documents the
 intended design.
+
+SUPERSEDED (round 2): the resample gather is now served by the tile-row
+gather (ops/rowgather.py, ~3.8 ns/idx — faster than this kernel's
+projection), and the dense field passes by the VMEM-resident Pallas
+kernel ops/pallas_polar.py. Kept as the record of the Mosaic per-element
+VMEM findings.
 """
 
 from __future__ import annotations

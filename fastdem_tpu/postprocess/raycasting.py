@@ -17,13 +17,16 @@ replaced by a POLAR reduction that exploits the single shared ray origin:
      window min folds in rays that die inside a grid cell.
   3. Cartesian resampling: each cell reads h at its (azimuth, range); the
      cell's angular footprint (wider near the sensor) is covered by
-     per-range-column power-of-two azimuth smears (static masks) plus the
-     sparse-table two-half-window trick, so the min over the exact span
-     is two gathers per cell.
+     per-range-column power-of-two azimuth smears (static masks); with
+     the exact-window fold (default) the residual window rides the field
+     too, so the min over the exact span is ONE lookup per cell (a
+     tile-row gather, ops/rowgather.py).
 
-The only irregular-memory ops are one N-sized scatter and two H*W-sized
-gathers (XLA:TPU serializes those at ~10-30 ns/element — the naive
-18M-sample scatter formulation cost ~160 ms/scan; this one is ~1 ms).
+The only irregular-memory ops are one N-sized scatter and one
+cell-count-sized tile-row gather (XLA:TPU serializes irregular indices
+at ~4-19 ns each — the naive 18M-sample scatter formulation cost
+~160 ms/scan; this path is ~0.5 ms incl. the dense tail, which the
+Pallas kernel ops/pallas_polar.py runs in VMEM).
 
 Semantics parity (file:line refer to raycasting.cpp):
   * observed evidence: +log_odds_observed per downsampled point in the
