@@ -131,6 +131,22 @@ def voxel_coords(xyz: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
     return jnp.floor(xyz / voxel_size).astype(jnp.int32)
 
 
+VOXEL_KEY_BITS = 1024  # 1024^3 = 2^30 keys: fits int32 without wrap
+
+
+def voxel_key(coords: jnp.ndarray) -> jnp.ndarray:
+    """Pack i32[N, 3] voxel coordinates into one sortable i32 key
+    (clipped to +-512 per axis). The SINGLE encoding shared by VGICP's
+    voxel-distribution map and its correspondence lookup — both sides
+    must agree bit-for-bit or points silently stop matching voxels."""
+    B = VOXEL_KEY_BITS
+    return (
+        (jnp.clip(coords[..., 0] + B // 2, 0, B - 1) * B
+         + jnp.clip(coords[..., 1] + B // 2, 0, B - 1)) * B
+        + jnp.clip(coords[..., 2] + B // 2, 0, B - 1)
+    )
+
+
 def voxel_unique_mask(
     xyz: jnp.ndarray, mask: jnp.ndarray, voxel_size: float
 ) -> jnp.ndarray:
@@ -389,7 +405,16 @@ def deskew_lookup(cloud: PointCloud, pose_lookup, num_waypoints: int = 16) -> Po
     R_end_inv = T_end[:3, :3].T
     world = jnp.einsum("nij,nj->ni", R, cloud.xyz) + trans
     xyz = (world - T_end[:3, 3]) @ R_end_inv.T
-    return dataclasses.replace(cloud, xyz=xyz)
+    out = dataclasses.replace(cloud, xyz=xyz)
+    # Normals rotate with the per-point relative motion, like ``deskew``
+    # (transformCloud rotates normals, core/transform.hpp:42-82).
+    if "normal" in cloud.channels:
+        nrm = cloud.channels["normal"]
+        n3 = jnp.einsum("ij,njk,nk->ni", R_end_inv, R, nrm[:, :3])
+        out = out.with_channel(
+            "normal", nrm.at[:, :3].set(n3) if nrm.shape[1] == 4 else n3
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

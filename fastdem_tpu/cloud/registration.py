@@ -135,15 +135,9 @@ def _gn_step_factory(method: str, kernel: str, kernel_scale: float,
 
     def _correspond(src, s_mask, t_xyz, t_mask, vox_keys):
         if corr == "voxel":
-            from fastdem_tpu.cloud.filters import voxel_coords
+            from fastdem_tpu.cloud.filters import voxel_coords, voxel_key
 
-            coords = voxel_coords(src, voxel_size)
-            B = 1024
-            key = (
-                (jnp.clip(coords[:, 0] + B // 2, 0, B - 1) * B
-                 + jnp.clip(coords[:, 1] + B // 2, 0, B - 1)) * B
-                + jnp.clip(coords[:, 2] + B // 2, 0, B - 1)
-            )
+            key = voxel_key(voxel_coords(src, voxel_size))
             n = vox_keys.shape[0]
             pos = jnp.clip(
                 jnp.searchsorted(vox_keys, key), 0, n - 1
@@ -224,7 +218,18 @@ def _gn_step_factory(method: str, kernel: str, kernel_scale: float,
         )
         return err, n_corr
 
-    return jax.jit(step), jax.jit(err_fn)
+    def solve_retract(H, g, T, lam):
+        # Damped solve + retraction only — the LM inner loop linearizes
+        # ONCE per outer iteration (reference lm_optimizer.hpp:52-85) and
+        # re-solves per lambda trial; each trial then costs a 6x6 solve
+        # plus one error evaluation instead of a second full
+        # correspondence + Jacobian pass.
+        delta = _solve_gn(H, g, damping=lam)
+        return tfm.se3_exp(delta) @ T, delta
+
+    return jax.jit(step), jax.jit(err_fn), jax.jit(linearize), jax.jit(
+        solve_retract
+    )
 
 
 def segal_regularize(cov: jnp.ndarray, epsilon: float = 1e-3) -> jnp.ndarray:
@@ -251,17 +256,11 @@ def voxel_distributions(
     Returns (keys_sorted i32[N] with empty tail = INT32_MAX, mean f32[N,3],
     cov f32[N,3,3], valid bool[N]); entry i < num_voxels describes voxel i.
     """
-    from fastdem_tpu.cloud.filters import voxel_coords
+    from fastdem_tpu.cloud.filters import voxel_coords, voxel_key
     from fastdem_tpu.ops import segments as seg
 
     n = cloud.capacity
-    coords = voxel_coords(cloud.xyz, voxel_size)
-    B = 1024  # 1024^3 = 2^30 keys: fits int32 without wrap
-    key = (
-        (jnp.clip(coords[:, 0] + B // 2, 0, B - 1) * B
-         + jnp.clip(coords[:, 1] + B // 2, 0, B - 1)) * B
-        + jnp.clip(coords[:, 2] + B // 2, 0, B - 1)
-    )
+    key = voxel_key(voxel_coords(cloud.xyz, voxel_size))
     key = jnp.where(cloud.mask, key, jnp.int32(2**31 - 1))
     key_s, x_s, y_s, z_s = jax.lax.sort(
         (key, cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2]), num_keys=1
@@ -373,7 +372,7 @@ def align(
         corr = "voxel"
         method = "gicp"
 
-    step, err_fn = _gn_step_factory(
+    step, err_fn, linearize_fn, solve_retract = _gn_step_factory(
         method, kernel, kernel_scale, max_correspondence_distance,
         corr=corr, voxel_size=voxel_size,
     )
@@ -407,8 +406,11 @@ def align(
         for it in range(1, max_iterations + 1):
             accepted = False
             delta = np.zeros(6)
+            # Linearize ONCE at T; lambda trials only re-solve + re-check
+            # the error (reference lm_optimizer.hpp:52-85).
+            H, g, _, _ = linearize_fn(T, *args())
             for _ in range(max_inner_iterations):
-                T_try, delta_j, _, _ = step(T, jnp.float32(lam), *args())
+                T_try, delta_j = solve_retract(H, g, T, jnp.float32(lam))
                 err_new_j, n_new_j = err_fn(T_try, *args())
                 err_new = float(err_new_j)
                 if err_new < err:

@@ -147,7 +147,11 @@ def load_pcd(
 
 
 def _format_viewpoint(viewpoint) -> str:
-    vp = [float(v) for v in (viewpoint or DEFAULT_VIEWPOINT)]
+    # `viewpoint or DEFAULT` would raise on numpy arrays (ambiguous truth
+    # value) — and load_pcd(return_meta=True) returns exactly that type.
+    if viewpoint is None or len(viewpoint) == 0:
+        viewpoint = DEFAULT_VIEWPOINT
+    vp = [float(v) for v in viewpoint]
     if len(vp) != 7:
         raise ValueError("viewpoint must be (tx ty tz qw qx qy qz)")
     return " ".join("%g" % v for v in vp)

@@ -305,8 +305,14 @@ def _build_phases(
         ray_num_azimuth = int(cfg.raycasting.num_azimuth_bins)
     if ray_range_bin_factor is None:
         ray_range_bin_factor = float(cfg.raycasting.range_bin_factor)
+    # An EXPLICIT bound (caller arg or config key) is respected as-is; only
+    # DERIVED bounds may later be tightened by the LOCAL half-diagonal
+    # heuristic (whose 2 m base->sensor margin an operator with an unusual
+    # extrinsic can overrule by setting raycasting.max_range).
+    ray_range_explicit = ray_max_range is not None
     if ray_max_range is None and cfg.raycasting.max_range > 0:
         ray_max_range = float(cfg.raycasting.max_range)
+        ray_range_explicit = True
     if scatter_mode not in ("rows", "packed", "twophase", "sort"):
         raise ValueError(f"unknown scatter_mode: {scatter_mode!r}")
     if voxel_count_mode == "span" and scatter_mode == "twophase":
@@ -358,7 +364,9 @@ def _build_phases(
             0.5 * math.hypot(geom.rows, geom.cols) * geom.resolution
         )
         local_bound = half_diag + 2.0 + 2.0 * geom.resolution
-        if ray_max_range is None or ray_max_range > local_bound:
+        if ray_max_range is None or (
+            not ray_range_explicit and ray_max_range > local_bound
+        ):
             ray_max_range = local_bound
 
     # ---- Update window: O(range^2) per-scan cost on large maps ----

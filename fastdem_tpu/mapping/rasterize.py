@@ -362,7 +362,11 @@ def rasterize_scatter_packed(
         raise ValueError(f"unknown voxel_count_mode: {voxel_count_mode!r}")
     n = xyz.shape[0]
     idx_bits = max(1, (n - 1).bit_length())
-    qmax = (1 << (31 - idx_bits)) - 1  # quantized-z levels
+    # One fewer level than the field allows: with qmax all-ones, a
+    # valid point at index n-1 (n a power of two) holding the scan's
+    # max z would pack to exactly _IMAX — the invalid sentinel — and
+    # silently mark its cell untouched.
+    qmax = (1 << (31 - idx_bits)) - 2  # quantized-z levels
     ids, valid, ncell, shape = _window_ids(geom, position, xyz, mask, window)
     z = xyz[:, 2]
 
@@ -612,7 +616,7 @@ def rasterize_scatter_rows(
         raise ValueError(f"unknown voxel_count_mode: {voxel_count_mode!r}")
     n = xyz.shape[0]
     idx_bits = max(1, (n - 1).bit_length())
-    qmax = (1 << (31 - idx_bits)) - 1
+    qmax = (1 << (31 - idx_bits)) - 2  # see rasterize_scatter_packed
     ids, valid, ncell, shape = _window_ids(geom, position, xyz, mask, window)
     z = xyz[:, 2]
 
@@ -816,7 +820,7 @@ def rasterize_scatter_rows_batched(
     shape = geom.shape
     K, n = xyz.shape[0], xyz.shape[1]
     idx_bits = max(1, (n - 1).bit_length())
-    qmax = (1 << (31 - idx_bits)) - 1
+    qmax = (1 << (31 - idx_bits)) - 2  # see rasterize_scatter_packed
     ids, inside = jax.vmap(geom.cell_id_of)(positions, xyz[:, :, :2])
     valid = mask & inside
     ids = jnp.where(valid, ids, ncell)

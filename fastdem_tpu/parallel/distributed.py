@@ -21,6 +21,7 @@ Library use:
 from __future__ import annotations
 
 import argparse
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -113,6 +114,9 @@ def save_sharded_npz(
         "size": [rows, cols],
         "start_index": [0, 0],
     }
+    zf = None
+    member = None
+    ok = False
     try:
         zf = (
             zipfile.ZipFile(path, "w", zipfile.ZIP_STORED, allowZip64=False)
@@ -149,6 +153,7 @@ def save_sharded_npz(
                     )
             if write:
                 member.close()
+                member = None
         if write:
             buf = _io.BytesIO()
             np.lib.format.write_array(
@@ -158,11 +163,27 @@ def save_sharded_npz(
             )
             zf.writestr(zip_member_info("meta.npy"), buf.getvalue())
             zf.close()
+            zf = None
+        ok = True
     except (OSError, zipfile.LargeZipFile):
         # >=4 GiB members would need ZIP64, which the reference's parser
         # cannot read — fail soft like io.npz.save_npz.
-        return False
-    return True
+        ok = False
+    finally:
+        # A failed checkpoint must not leak handles or leave a truncated
+        # file masquerading as the map.
+        for h in (member, zf):
+            if h is not None:
+                try:
+                    h.close()
+                except Exception:  # noqa: BLE001
+                    pass
+        if not ok and write:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+    return ok
 
 
 def scaling_report(

@@ -152,20 +152,35 @@ class MappingDriver:
                 items = self._queue[: self.burst_batch]
                 del self._queue[: len(items)]
                 self._inflight = len(items)
-                if self.stage_ahead:
-                    # Kick off H2D for the NEXT burst while this one
-                    # computes (transfers are async; replacing in place
-                    # keeps drop-oldest semantics intact).
-                    from fastdem_tpu.cloud.pointcloud import stage
+                # Snapshot the next burst for stage-ahead OUTSIDE the
+                # lock: device_put dispatches can take tens of ms each on
+                # a remote backend, and holding _qcond that long would
+                # stall on_scan producers exactly when backlogged.
+                to_stage = (
+                    list(self._queue[: self.burst_batch])
+                    if self.stage_ahead
+                    else []
+                )
+            if to_stage:
+                # Kick off H2D for the NEXT burst while this one computes
+                # (transfers are async). Entries are re-matched by
+                # identity under a short re-acquire so drop-oldest
+                # eviction that happened meanwhile stays intact.
+                from fastdem_tpu.cloud.pointcloud import stage
 
-                    for i in range(
-                        min(len(self._queue), self.burst_batch)
-                    ):
-                        c, tbs, twb = self._queue[i]
-                        try:
-                            self._queue[i] = (stage(c), tbs, twb)
-                        except Exception:  # noqa: BLE001
-                            break
+                staged = []
+                for c, tbs, twb in to_stage:
+                    try:
+                        staged.append(((c, tbs, twb), (stage(c), tbs, twb)))
+                    except Exception:  # noqa: BLE001
+                        break
+                if staged:
+                    with self._qcond:
+                        for orig, new in staged:
+                            for i, cur in enumerate(self._queue):
+                                if cur is orig or cur[0] is orig[0]:
+                                    self._queue[i] = new
+                                    break
             try:
                 if len(items) == 1:
                     self._integrate_one(*items[0])

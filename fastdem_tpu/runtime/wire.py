@@ -79,11 +79,17 @@ class PointCloud2:
 
 
 def _np_fields(fields: List[PointField], point_step: int) -> np.dtype:
-    """Structured numpy dtype over one point record."""
+    """Structured numpy dtype over one point record. Multi-element fields
+    (count > 1) become subarrays, matching the wire layout."""
     return np.dtype(
         {
             "names": [f.name for f in fields],
-            "formats": [_NP_DTYPE[f.datatype] for f in fields],
+            "formats": [
+                _NP_DTYPE[f.datatype]
+                if getattr(f, "count", 1) in (0, 1)
+                else (_NP_DTYPE[f.datatype], (f.count,))
+                for f in fields
+            ],
             "offsets": [f.offset for f in fields],
             "itemsize": point_step,
         }
@@ -289,39 +295,65 @@ def pointcloud2_to_cloud(msg: PointCloud2):
     if msg.is_bigendian:
         raise ValueError("big-endian PointCloud2 not supported")
     n = msg.width * msg.height
-    rec = np.frombuffer(
-        msg.data, dtype=_np_fields(msg.fields, msg.point_step), count=n
-    )
+    dtype = _np_fields(msg.fields, msg.point_step)
+    row_bytes = msg.width * msg.point_step
+    if msg.height > 1 and msg.row_step != row_bytes:
+        # Organized cloud with row padding: parse row by row at row_step
+        # strides (naive frombuffer would read the padding as point
+        # records and silently shift every later row).
+        if msg.row_step < row_bytes:
+            raise ValueError(
+                f"row_step {msg.row_step} < width*point_step {row_bytes}"
+            )
+        rows = [
+            np.frombuffer(
+                msg.data,
+                dtype=dtype,
+                count=msg.width,
+                offset=r * msg.row_step,
+            )
+            for r in range(msg.height)
+        ]
+        rec = np.concatenate(rows)
+    else:
+        rec = np.frombuffer(msg.data, dtype=dtype, count=n)
     names = {f.name for f in msg.fields}
     if not {"x", "y", "z"} <= names:
         raise ValueError("PointCloud2 missing x/y/z fields")
+
+    def col(name):
+        # count>1 fields parse as subarrays; scalar consumers take the
+        # first element (the reference reads element 0 at the offset).
+        v = rec[name]
+        return v[..., 0] if v.ndim > 1 else v
+
     xyz = np.column_stack(
-        [rec["x"], rec["y"], rec["z"]]
+        [col("x"), col("y"), col("z")]
     ).astype(np.float32)
     channels: Dict[str, np.ndarray] = {}
     if "intensity" in names:
-        channels["intensity"] = rec["intensity"].astype(np.float32)
+        channels["intensity"] = col("intensity").astype(np.float32)
     if "ring" in names:
-        channels["ring"] = rec["ring"].astype(np.int32)
+        channels["ring"] = col("ring").astype(np.int32)
     for tname in ("t", "time", "timestamp"):
         if tname in names:
-            channels["time"] = rec[tname].astype(np.float32)
+            channels["time"] = col(tname).astype(np.float32)
             break
     for cname in ("rgb", "rgba"):
         if cname in names:
             from fastdem_tpu.utils.colors import unpack_rgb
 
-            packed = rec[cname]
+            packed = col(cname)
             if packed.dtype != np.float32:
                 packed = packed.view(np.float32)
             rgbu8 = np.asarray(unpack_rgb(np.ascontiguousarray(packed)))
             channels["color"] = rgbu8  # u8[N, 3], the cloud convention
             break
     if "label" in names:
-        channels["label"] = rec["label"].astype(np.int32)
+        channels["label"] = col("label").astype(np.int32)
     if {"normal_x", "normal_y", "normal_z"} <= names:
         channels["normal"] = np.column_stack(
-            [rec["normal_x"], rec["normal_y"], rec["normal_z"]]
+            [col("normal_x"), col("normal_y"), col("normal_z")]
         ).astype(np.float32)
     cloud = from_numpy(xyz, **channels)
     return cloud.with_frame(msg.frame_id)

@@ -336,3 +336,44 @@ class TestDepthImage:
         np.testing.assert_allclose(
             np.nanmedian(elev[finite]), 0.5, atol=0.1
         )
+
+
+def test_deskew_lookup_rotates_normals():
+    """deskew_lookup must rotate the normal channel with the per-point
+    relative motion like deskew does (regression: normals were left in
+    their capture orientations)."""
+    import numpy as np
+
+    from fastdem_tpu.cloud import transform as tfm
+    from fastdem_tpu.cloud.filters import deskew, deskew_lookup
+    from fastdem_tpu.cloud.pointcloud import from_numpy
+
+    n = 64
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(0, 2, (n, 3)).astype(np.float32)
+    t = np.linspace(0.0, 0.1, n).astype(np.float32)
+    nrm = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    cloud = from_numpy(xyz, time=t, normal=nrm)
+
+    # Linear trajectory: a constant-rate rotation about z + translation.
+    def pose(tt):
+        a = 0.5 * (tt / 0.1)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(
+            [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+             [0, 0, 1]], np.float32,
+        )
+        T[0, 3] = tt * 3.0
+        return T
+
+    out_ref = deskew(cloud, jnp.asarray(pose(0.0)), jnp.asarray(pose(0.1)))
+    out = deskew_lookup(cloud, pose, num_waypoints=32)
+    np.testing.assert_allclose(
+        np.asarray(out.channels["normal"]),
+        np.asarray(out_ref.channels["normal"]),
+        atol=2e-3,
+    )
+    # Unit length preserved (pure rotation).
+    ln = np.linalg.norm(np.asarray(out.channels["normal"]), axis=1)
+    np.testing.assert_allclose(ln, 1.0, atol=1e-3)

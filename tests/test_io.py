@@ -339,3 +339,27 @@ class TestHtmlViewer:
             re.search(r"const META = (\{.*?\});", out.read_text()).group(1)
         )
         assert meta["rows"] * meta["cols"] <= 40_000
+
+
+def test_viewpoint_numpy_array_roundtrip(tmp_path):
+    """Regression: save_pcd(viewpoint=<numpy array>) crashed in the pure-
+    Python writer ('truth value of an array is ambiguous') — the exact
+    type load_pcd(return_meta=True) returns."""
+    import numpy as np
+
+    from fastdem_tpu.cloud.pointcloud import from_numpy
+    from fastdem_tpu.io.pcd import load_pcd, save_pcd
+
+    xyz = np.arange(12, dtype=np.float32).reshape(4, 3)
+    vp = (1.0, 2.0, 3.0, 1.0, 0.0, 0.0, 0.0)
+    p1 = str(tmp_path / "a.pcd")
+    assert save_pcd(p1, from_numpy(xyz), viewpoint=vp, use_native=False)
+    _, meta = load_pcd(p1, return_meta=True)
+    assert isinstance(meta["viewpoint"], np.ndarray)
+    p2 = str(tmp_path / "b.pcd")
+    assert save_pcd(
+        p2, from_numpy(xyz), viewpoint=meta["viewpoint"], use_native=False,
+        binary=False,
+    )
+    _, meta2 = load_pcd(p2, return_meta=True)
+    np.testing.assert_allclose(meta2["viewpoint"], vp)

@@ -357,3 +357,35 @@ class TestRasterizeRows:
             assert (np.isnan(x) == np.isnan(y)).all(), name
             fin = np.isfinite(x)
             np.testing.assert_array_equal(x[fin], y[fin], err_msg=name)
+
+
+class TestSentinelCollision:
+    def test_power_of_two_max_index_point_not_dropped(self):
+        """Regression: with n a power of two, a valid point at index n-1
+        holding the scan's max z used to pack lane 0 to exactly the _IMAX
+        invalid sentinel, silently marking its (otherwise untouched) cell
+        as untouched. qmax now leaves one quantization level of headroom."""
+        import jax.numpy as jnp
+
+        from fastdem_tpu.grid.geometry import GridGeometry
+        from fastdem_tpu.mapping.rasterize import (
+            rasterize_scatter_packed,
+            rasterize_scatter_rows,
+        )
+
+        geom = GridGeometry.from_length(4.0, 4.0, 0.1)
+        n = 4096  # power of two -> idx_bits covers all-ones at n-1
+        xyz = np.zeros((n, 3), dtype=np.float32)
+        xyz[:, 0] = -1.0  # everyone else shares one far cell
+        xyz[:, 2] = 0.5
+        xyz[n - 1] = (1.0, 1.0, 2.0)  # index n-1: alone, scan max z
+        mask = np.ones(n, bool)
+        zv = np.full(n, 0.01, np.float32)
+        pos = jnp.zeros(2)
+        for fn in (rasterize_scatter_rows, rasterize_scatter_packed):
+            obs = fn(geom, pos, jnp.asarray(xyz), jnp.asarray(mask),
+                     jnp.asarray(zv))
+            r, c, inside = geom.index_of(pos, jnp.asarray([[1.0, 1.0]]))
+            assert bool(inside[0])
+            assert bool(obs.touched[int(r[0]), int(c[0])]), fn.__name__
+            assert float(obs.min_z[int(r[0]), int(c[0])]) == 2.0, fn.__name__

@@ -106,13 +106,15 @@ class TestShardedIntegrate:
             ).astype(np.float32)
         )
         mask = jnp.ones(n, dtype=bool)
-        # Low-byte-only colors bitcast to denormal f32 patterns.
+        # Low-byte-only colors bitcast to denormal f32 patterns (raw u8
+        # values — pack_rgb casts to uint32, so a /255.0 normalization
+        # would truncate every channel to 0 and never exercise the
+        # denormal bits this test exists to pin).
         color = pack_rgb(
             jnp.asarray(
                 np.column_stack(
                     [np.zeros(n), np.zeros(n), rng.integers(1, 255, n)]
                 ).astype(np.float32)
-                / 255.0
             )
         )
         T_bs = I4.at[2, 3].set(1.0)

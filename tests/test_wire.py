@@ -237,3 +237,84 @@ class TestPclBridge:
 
         with _pytest.raises(ValueError):
             wire.cloud_to_pcl(cloud, "PointBogus")
+
+
+class TestOrganizedClouds:
+    def test_row_step_padding(self):
+        """Organized clouds (height > 1) with padded rows must parse at
+        row_step strides — regression: frombuffer read the padding as
+        point records and shifted every later row."""
+        import numpy as np
+
+        from fastdem_tpu.runtime.wire import (
+            FLOAT32,
+            PointCloud2,
+            PointField,
+            pointcloud2_to_cloud,
+        )
+
+        h, w = 3, 4
+        point_step = 12
+        pad = 8  # bytes of per-row padding
+        row_step = w * point_step + pad
+        pts = np.arange(h * w * 3, dtype=np.float32).reshape(h, w, 3)
+        data = b""
+        for r in range(h):
+            data += pts[r].tobytes() + b"\x00" * pad
+        msg = PointCloud2(
+            frame_id="cam", stamp_ns=0, height=h, width=w,
+            fields=[
+                PointField("x", 0, FLOAT32), PointField("y", 4, FLOAT32),
+                PointField("z", 8, FLOAT32),
+            ],
+            is_bigendian=False, point_step=point_step, row_step=row_step,
+            data=data, is_dense=True,
+        )
+        cloud = pointcloud2_to_cloud(msg)
+        np.testing.assert_array_equal(
+            np.asarray(cloud.xyz), pts.reshape(-1, 3)
+        )
+
+    def test_multi_count_field(self):
+        """PointField.count > 1 parses as a subarray; scalar consumers
+        take element 0 instead of misreading neighboring bytes."""
+        import numpy as np
+
+        from fastdem_tpu.runtime.wire import (
+            FLOAT32,
+            PointCloud2,
+            PointField,
+            pointcloud2_to_cloud,
+        )
+
+        n = 5
+        rec = np.zeros(
+            n,
+            dtype=np.dtype(
+                {
+                    "names": ["x", "y", "z", "intensity"],
+                    "formats": ["<f4", "<f4", "<f4", ("<f4", (2,))],
+                    "offsets": [0, 4, 8, 12],
+                    "itemsize": 20,
+                }
+            ),
+        )
+        rec["x"] = np.arange(n)
+        rec["y"] = 1.0
+        rec["z"] = 2.0
+        rec["intensity"][:, 0] = 7.0
+        rec["intensity"][:, 1] = -1.0  # must be ignored
+        msg = PointCloud2(
+            frame_id="s", stamp_ns=0, height=1, width=n,
+            fields=[
+                PointField("x", 0, FLOAT32), PointField("y", 4, FLOAT32),
+                PointField("z", 8, FLOAT32),
+                PointField("intensity", 12, FLOAT32, count=2),
+            ],
+            is_bigendian=False, point_step=20, row_step=n * 20,
+            data=rec.tobytes(), is_dense=True,
+        )
+        cloud = pointcloud2_to_cloud(msg)
+        np.testing.assert_array_equal(
+            np.asarray(cloud.channels["intensity"]), np.full(n, 7.0)
+        )
