@@ -557,3 +557,49 @@ class TestWeakScaling:
         assert rep["map_shape_sharded"] == (32 * 4, 32 * 2)  # 4x2 mesh
         assert rep["efficiency"] > 0
         assert abs(rep["speedup"] - rep["efficiency"] * 8) < 1e-9
+
+
+class TestWindowedUnderGspmd:
+    def test_windowed_step_matches_unsharded(self):
+        """Window-local updates under GSPMD (dynamic slice + write-back on
+        block-sharded layers): compiles and matches the unsharded windowed
+        path exactly. The sharded BUILDERS pin window_update=False today
+        (the slices insert per-scan collectives); this pins the
+        combination's correctness so a future round can enable it from
+        measurements alone."""
+        geom = GridGeometry.from_length(32.0, 32.0, 0.25)  # 128x128
+        cfg = Config()
+        cfg.mapping.mode = MappingMode.GLOBAL
+        cfg.point_filter.range_max = 5.0  # window ~46 cells << 128
+        cfg.raycasting.enabled = True
+        xyz, mask = scan(seed=3)
+
+        step1 = build_integrate(
+            geom, cfg, donate=False, window_update=True
+        )
+        s1 = create_map_state(geom, cfg)
+        for k in range(2):
+            T_wb = I4.at[0, 3].set(1.5 * k)
+            s1, _ = step1(s1, xyz, mask, I4, T_wb)
+
+        mesh = sh.make_mesh(8)
+        raw = build_integrate(
+            geom, cfg, jit=False, donate=False, window_update=True
+        )
+        st_sh = sh.state_shardings(mesh, create_map_state(geom, cfg))
+        rep = sh.replicated(mesh)
+        stepN = jax.jit(
+            lambda s, *a: raw(s, *a),
+            in_shardings=(st_sh, rep, rep, rep, rep),
+            out_shardings=(st_sh, None),
+        )
+        sN = sh.shard_state(create_map_state(geom, cfg), mesh)
+        for k in range(2):
+            T_wb = I4.at[0, 3].set(1.5 * k)
+            sN, _ = stepN(sN, xyz, mask, I4, T_wb)
+
+        for name in s1.layers:
+            np.testing.assert_array_equal(
+                np.asarray(s1.layers[name]), np.asarray(sN.layers[name]),
+                err_msg=name,
+            )
