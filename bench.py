@@ -163,7 +163,13 @@ def main():
     ap.add_argument("--points", type=int, default=30000)
     ap.add_argument("--no-raycast", action="store_true")
     ap.add_argument("--all", action="store_true",
-                    help="also run the other BASELINE.md configs")
+                    help="also run the other BASELINE.md configs (each in "
+                         "its own subprocess — see BENCH_NOTES.md on the "
+                         "in-process ordering effect)")
+    ap.add_argument("--config", default=None,
+                    choices=["p2", "rgbd", "global"],
+                    help="run ONE non-headline config and exit (used by "
+                         "--all's per-config subprocesses)")
     ap.add_argument("--scatter-mode", default="rows",
                     choices=["rows", "packed", "twophase", "sort"],
                     help="rasterizer formulation (A/B within one session)")
@@ -197,6 +203,43 @@ def main():
     def mut_headline(cfg):
         cfg.raycasting.enabled = not args.no_raycast
 
+    if args.config == "p2":
+        from fastdem_tpu.config.config import EstimationType
+
+        def mut_p2(cfg):
+            cfg.mapping.estimation_type = EstimationType.P2_QUANTILE
+
+        ms2, c2 = bench_pipeline(args.scans, args.points, mut_p2)
+        log("p2 quantile + lidar + raycast", ms2, c2)
+        return
+    if args.config == "rgbd":
+        from fastdem_tpu.config.config import SensorType
+
+        def mut_rgbd(cfg):
+            cfg.raycasting.enabled = False
+            cfg.sensor_model.type = SensorType.RGBD
+
+        ms3, c3 = bench_pipeline(
+            max(4, args.scans // 2), 300000, mut_rgbd, spread=6.0
+        )
+        log("rgbd 300K pts local", ms3, c3)
+        return
+    if args.config == "global":
+        # GLOBAL 200 m @ 0.1 m (4M cells), 20 m range: exercises the
+        # window-local update path (O(range^2) per scan; BENCH_NOTES.md).
+        from fastdem_tpu.config.config import MappingMode
+
+        def mut_global(cfg):
+            cfg.mapping.mode = MappingMode.GLOBAL
+            cfg.point_filter.range_max = 20.0
+
+        ms4, c4 = bench_pipeline(
+            max(4, args.scans // 4), args.points, mut_global, spread=18.0,
+            geom_m=200.0,
+        )
+        log("global 200m 4M cells + raycast", ms4, c4)
+        return
+
     if args.trace:
         # Warm (compile) once, then trace a single timed run.
         bench_pipeline(args.scans, args.points, mut_headline,
@@ -222,36 +265,24 @@ def main():
         log("same, K-fused offline replay", msf, cf)
 
     if args.all:
-        from fastdem_tpu.config.config import EstimationType, SensorType
+        # Each config runs in its OWN process: configs measured after the
+        # headline in one process read 20-80% higher (HBM-state/ordering
+        # effect, BENCH_NOTES.md); subprocesses share the persistent
+        # compile cache, so the isolation costs only startup time.
+        import subprocess
 
-        def mut_p2(cfg):
-            cfg.mapping.estimation_type = EstimationType.P2_QUANTILE
-
-        ms2, c2 = bench_pipeline(args.scans, args.points, mut_p2)
-        log("p2 quantile + lidar + raycast", ms2, c2)
-
-        def mut_rgbd(cfg):
-            cfg.raycasting.enabled = False
-            cfg.sensor_model.type = SensorType.RGBD
-
-        ms3, c3 = bench_pipeline(
-            max(4, args.scans // 2), 300000, mut_rgbd, spread=6.0
-        )
-        log("rgbd 300K pts local", ms3, c3)
-
-        # GLOBAL 200 m @ 0.1 m (4M cells), 20 m range: exercises the
-        # window-local update path (O(range^2) per scan; BENCH_NOTES.md).
-        from fastdem_tpu.config.config import MappingMode
-
-        def mut_global(cfg):
-            cfg.mapping.mode = MappingMode.GLOBAL
-            cfg.point_filter.range_max = 20.0
-
-        ms4, c4 = bench_pipeline(
-            max(4, args.scans // 4), args.points, mut_global, spread=18.0,
-            geom_m=200.0,
-        )
-        log("global 200m 4M cells + raycast", ms4, c4)
+        for name in ("p2", "rgbd", "global"):
+            r = subprocess.run(
+                [sys.executable, __file__, "--config", name,
+                 "--scans", str(args.scans), "--points", str(args.points)],
+                capture_output=True, text=True, timeout=4200,
+            )
+            for line in r.stderr.splitlines():
+                if "ms/scan" in line or "chain:" in line:
+                    print(line, file=sys.stderr)
+            if r.returncode != 0:
+                print(f"[--all] config {name} failed:\n{r.stderr[-800:]}",
+                      file=sys.stderr)
 
         # Post-processing chain on a snapshot (UF + inpaint + FE).
         import jax.numpy as jnp
