@@ -169,6 +169,18 @@ def is_finite_mask(state: GridMapState, name: str) -> jnp.ndarray:
     return jnp.isfinite(state.layers[name]).astype(jnp.float32)
 
 
+def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
+    """``std::round`` semantics: ties round away from zero.
+
+    ``jnp.round`` rounds half-to-even, which at an exactly half-cell robot
+    displacement walks the lattice one cell differently from the reference's
+    ``std::round`` (tests/refbuild/nanogrid/nanogrid.hpp:209-213 — the move
+    delta the goldens are validated against). Sign-aware floor matches it
+    exactly for every float.
+    """
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
 def move(
     geom: GridGeometry, state: GridMapState, new_center: jnp.ndarray
 ) -> GridMapState:
@@ -185,7 +197,9 @@ def move(
       new[r, c] = old[r - k, c]; rows wrapping around are cleared.
     """
     res = geom.resolution
-    delta = jnp.round((new_center - state.position) / res).astype(jnp.int32)
+    delta = round_half_away((new_center - state.position) / res).astype(
+        jnp.int32
+    )
     kr, kc = delta[0], delta[1]
 
     rr = jnp.arange(geom.rows, dtype=jnp.int32)

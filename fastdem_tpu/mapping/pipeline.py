@@ -425,7 +425,9 @@ def _build_phases(
     def moved_position(position, target_xy):
         # Must match gridmap.move's arithmetic exactly (grid/gridmap.py).
         res = geom.resolution
-        delta = jnp.round((target_xy - position) / res).astype(jnp.int32)
+        delta = gridmap.round_half_away(
+            (target_xy - position) / res
+        ).astype(jnp.int32)
         return position + delta.astype(jnp.float32) * res
 
     def phase_a(position, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None):

@@ -122,6 +122,30 @@ class TestMove:
             np.asarray(state.position), [0.3, -0.1], atol=1e-6
         )
 
+    def test_move_half_cell_ties_round_away_from_zero(self):
+        """std::round semantics at exact half-cell motion (VERDICT r2 #5).
+
+        0.05f is exactly 0.1f/2 (same significand, exponent-1), so the
+        move quotient is EXACTLY 0.5 — the tie where jnp.round (half-even,
+        -> 0) used to diverge from the reference's std::round (half-away,
+        -> 1; tests/refbuild/nanogrid/nanogrid.hpp:209-213)."""
+        geom, state = make_map(w=1.0, h=1.0, res=0.1)
+        state = gridmap.move(geom, state, jnp.array([0.05, -0.05]))
+        np.testing.assert_allclose(
+            np.asarray(state.position), [0.1, -0.1], atol=1e-7
+        )
+
+    def test_round_half_away_matches_std_round(self):
+        x = jnp.array(
+            [-2.5, -1.5, -0.5, -0.4999, 0.0, 0.4999, 0.5, 1.5, 2.5, 3.0]
+        )
+        expect = np.array(
+            [-3.0, -2.0, -1.0, 0.0, 0.0, 0.0, 1.0, 2.0, 3.0, 3.0]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gridmap.round_half_away(x)), expect
+        )
+
     def test_move_beyond_extent_clears_all(self):
         geom, state = make_map(w=1.0, h=1.0, res=0.1)
         state = state.replace_layer(

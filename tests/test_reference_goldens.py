@@ -186,10 +186,9 @@ def test_long_trajectory_full_buffer_rotation(golden_gen, tmp_path):
     multiple times while our world-aligned roll does the equivalent; the
     final maps must still agree at float-ULP level.
 
-    (The step is deliberately NOT a half-cell multiple: at exactly k+0.5
-    cells of motion jnp.round's half-even differs from C++ std::round's
-    half-away, so the two lattice walks can legitimately pick adjacent
-    cells — a measure-zero tie documented in PARITY.md.)"""
+    (Half-cell ties are matched too since gridmap.round_half_away
+    reproduces std::round's half-away semantics — see
+    test_half_cell_trajectory_matches_reference below.)"""
     xyz, T_bs, poses = make_stream(seed=21, K=60, N=4000, step_x=0.43)
     sref = run_reference(golden_gen, tmp_path, xyz, T_bs, poses,
                          "kalman", 0, "local")
@@ -206,6 +205,32 @@ def test_long_trajectory_full_buffer_rotation(golden_gen, tmp_path):
         both = np.isfinite(a) & np.isfinite(b)
         bad = int((np.abs(a[both] - b[both]) > 1e-5).sum())
         assert bad <= 12, f"{name}: {bad} cells differ"
+
+
+def test_half_cell_trajectory_matches_reference(golden_gen, tmp_path):
+    """LOCAL moves at EXACT half-cell robot steps (VERDICT r2 #5).
+
+    step_x = 0.05 with res 0.1: float(0.05) is exactly float(0.1)/2, so
+    every other move quotient is an exact f32 tie at k + 0.5.  jnp.round
+    (half-even) walked the lattice one cell differently from the
+    reference's std::round (half-away; refbuild/nanogrid/nanogrid.hpp:209
+    mirroring src/elevation_mapping.cpp move semantics) — fixed by
+    gridmap.round_half_away.  The two lattice walks, and hence map
+    positions and all layers, must now agree on the tie path too."""
+    xyz, T_bs, poses = make_stream(seed=33, K=24, N=3000, step_x=0.05)
+    sref = run_reference(golden_gen, tmp_path, xyz, T_bs, poses,
+                         "kalman", 0, "local")
+    _, state = run_tpu(xyz, T_bs, poses, "kalman", 0, "local")
+    np.testing.assert_allclose(
+        np.asarray(sref.position), np.asarray(state.position), atol=1e-6
+    )
+    for name in sref.layers:
+        a = np.asarray(sref.layers[name])
+        b = np.asarray(state.layers[name])
+        assert int((np.isnan(a) != np.isnan(b)).sum()) <= 6, name
+        both = np.isfinite(a) & np.isfinite(b)
+        bad = int((np.abs(a[both] - b[both]) > 1e-5).sum())
+        assert bad <= 6, f"{name}: {bad} cells differ"
 
 
 def test_kalman_twophase_scatter_matches_reference(golden_gen, tmp_path):
