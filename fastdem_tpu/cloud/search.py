@@ -201,6 +201,113 @@ def radius_count_brute(
     return cnt.reshape(-1)[:nq]
 
 
+def radius_search_brute(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+    max_neighbors: int,
+    queries: Optional[jnp.ndarray] = None,
+    exclude_self: bool = True,
+    chunk: int = 256,
+    data_chunk: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact radius neighbor-SET query at any N (VERDICT r2 #7).
+
+    The fixed-capacity counterpart of nanoPCL's KdTree::radius, which
+    returns the full index set of points within ``radius``
+    (lib/nanoPCL/include/nanopcl/search/kdtree.hpp:20-49). Static shapes
+    force a capacity: the ``max_neighbors`` CLOSEST in-radius points per
+    query are returned, distance-sorted ascending, padded with
+    idx=-1/dist=inf. The exact total in-radius count rides the same tiled
+    pass for free, so truncation (count > max_neighbors) is detectable by
+    the caller.
+
+    Doubly-tiled like knn_brute with a running top-k merge, but distances
+    are DIRECT differences (the [B, C, 3] tile runs on the VPU): a radius
+    predicate can't be refined after the fact, so the Gram form's ~1e-3
+    cancellation band is not acceptable here (same reasoning as
+    radius_count_brute).
+
+    Returns (idx i32[Q, max_neighbors], dist f32[Q, max_neighbors],
+    count i32[Q]).
+    """
+    q = xyz if queries is None else queries
+    n = xyz.shape[0]
+    r2 = radius * radius
+    cap = min(max_neighbors, n)
+
+    padn = (-n) % data_chunk
+    data = jnp.concatenate([xyz, jnp.full((padn, 3), 1e9, dtype=xyz.dtype)])
+    dmask = jnp.concatenate([mask, jnp.zeros(padn, dtype=bool)])
+    nd = data.shape[0] // data_chunk
+    data_c = data.reshape(nd, data_chunk, 3)
+    mask_c = dmask.reshape(nd, data_chunk)
+    bases = jnp.arange(nd, dtype=jnp.int32) * data_chunk
+    col_iota = jnp.arange(data_chunk, dtype=jnp.int32)
+
+    def one_chunk(qc):
+        qq, self_idx = qc  # [B, 3], [B]
+        B = qq.shape[0]
+
+        def body(carry, inp):
+            best_d, best_i, cnt = carry
+            pts, msk, base = inp
+            diff = pts[None, :, :] - qq[:, None, :]
+            d2 = jnp.sum(diff * diff, axis=-1)  # exact direct [B, C]
+            cols = base + col_iota
+            ok = msk[None, :] & (d2 <= r2)
+            if exclude_self:
+                ok = ok & (cols[None, :] != self_idx[:, None])
+            d2 = jnp.where(ok, d2, _INF)
+            cnt = cnt + jnp.sum(ok, axis=1)
+            cat_d = jnp.concatenate([best_d, d2], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(cols, d2.shape)], axis=1
+            )
+            neg, pos = jax.lax.top_k(-cat_d, cap)
+            return (
+                (-neg, jnp.take_along_axis(cat_i, pos, axis=1), cnt),
+                (),
+            )
+
+        init = (
+            jnp.full((B, cap), _INF, dtype=jnp.float32),
+            jnp.full((B, cap), -1, dtype=jnp.int32),
+            jnp.zeros(B, dtype=jnp.int32),
+        )
+        (bd, bi, cnt), _ = jax.lax.scan(
+            body, init, (data_c, mask_c, bases)
+        )
+        bi = jnp.where(jnp.isfinite(bd), bi, -1)
+        return bd, bi, cnt
+
+    nq = q.shape[0]
+    pad = (-nq) % chunk
+    qp = jnp.concatenate([q, jnp.full((pad, 3), 1e9, dtype=q.dtype)])
+    self_ids = (
+        jnp.concatenate(
+            [jnp.arange(nq, dtype=jnp.int32), jnp.full(pad, -1, jnp.int32)]
+        )
+        if queries is None
+        else jnp.full(nq + pad, -1, jnp.int32)
+    )
+    d, idx, cnt = jax.lax.map(
+        one_chunk, (qp.reshape(-1, chunk, 3), self_ids.reshape(-1, chunk))
+    )
+    d = d.reshape(-1, cap)[:nq]
+    idx = idx.reshape(-1, cap)[:nq]
+    cnt = cnt.reshape(-1)[:nq]
+    if cap < max_neighbors:
+        padw = max_neighbors - cap
+        d = jnp.concatenate(
+            [d, jnp.full((nq, padw), _INF, dtype=d.dtype)], axis=1
+        )
+        idx = jnp.concatenate(
+            [idx, jnp.full((nq, padw), -1, dtype=jnp.int32)], axis=1
+        )
+    return idx, jnp.sqrt(d), cnt
+
+
 class BucketGrid:
     """Sorted voxel-bucket index over a fixed cloud (build once, query many).
 

@@ -56,6 +56,11 @@ class IntegrateAux:
     world_mask: jnp.ndarray  # surviving-point mask after filters
     z_var: jnp.ndarray  # world z-variance per point
     obs: raster.CellObservations  # rasterized per-cell observations
+    # Surviving in-map points the update window missed (None when the
+    # windowed-update path is off). Nonzero means the base->sensor offset
+    # exceeded the built window margin and points were DROPPED — the
+    # facade widens the margin / the driver warns (VERDICT r2 #6).
+    oow_points: Optional[jnp.ndarray] = None
 
 
 def estimator_layer_fills(cfg: Config) -> Dict[str, float]:
@@ -212,6 +217,7 @@ def build_integrate(
     voxel_count_mode: Optional[str] = None,
     polar_field_impl: Optional[str] = None,
     window_update: Optional[bool] = None,
+    window_margin: float = 2.0,
 ):
     """Compile the per-scan integrate step.
 
@@ -234,6 +240,7 @@ def build_integrate(
         geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
         scatter_mode, voxel_count_mode, ray_exact_window,
         polar_field_impl=polar_field_impl, window_update=window_update,
+        window_margin=window_margin,
     )
     local_mode = cfg.mapping.mode == MappingMode.LOCAL
 
@@ -250,13 +257,14 @@ def build_integrate(
         )
         pa = phase_a(position, xyz, mask, T_bs, T_wb, intensity, color_packed)
         state = phase_b(state, T_wb, jnp.any(mask), pa)
-        obs, _ray, _origin, xyz_world, keep, z_var, win_rc = pa
+        obs, _ray, _origin, xyz_world, keep, z_var, win_rc, oow = pa
         if win_rc is not None:
             # Windowed update: the aux callbacks see full-map observations
             # (expanded here; DCE'd when the caller discards aux).
             obs = _expand_obs(geom, obs, win_rc)
         aux = IntegrateAux(
-            world_xyz=xyz_world, world_mask=keep, z_var=z_var, obs=obs
+            world_xyz=xyz_world, world_mask=keep, z_var=z_var, obs=obs,
+            oow_points=oow,
         )
         return state, aux
 
@@ -276,6 +284,7 @@ def _build_phases(
     ray_exact_window: bool = True,
     polar_field_impl: Optional[str] = None,
     window_update: Optional[bool] = None,
+    window_margin: float = 2.0,
 ):
     """Split the integrate step into:
 
@@ -343,12 +352,15 @@ def _build_phases(
     rmin2 = min(pf.range_min * pf.range_min, _F32_MAX)
     rmax2 = min(pf.range_max * pf.range_max, _F32_MAX)
     # Polar-field range bound: surviving points lie within range_max of the
-    # BASE frame; the sensor offset is small, so range_max + margin bounds
+    # BASE frame; the base->sensor offset is bounded by ``window_margin``
+    # (default 2 m; the facade widens it automatically when a larger static
+    # extrinsic is registered — VERDICT r2 #6), so range_max + margin bounds
     # every ray from the sensor. Without a finite range filter the field
     # spans the map diagonal (prohibitive on large global maps — set a
     # range filter or ray_max_range for those).
+    window_margin = max(float(window_margin), 0.0)
     if ray_max_range is None and pf.range_max < 1e6:
-        ray_max_range = float(pf.range_max) * 1.1 + 2.0
+        ray_max_range = float(pf.range_max) * 1.1 + window_margin
     if local_mode:
         # LOCAL maps follow the robot, so after move() the sensor sits
         # within half a cell (+ the base->sensor offset) of the map
@@ -359,11 +371,11 @@ def _build_phases(
         # cummin treats as alive through the whole bounded field —
         # conservative-correct for every in-range cell; cells beyond the
         # bound cannot exist when the sensor offset stays under the
-        # margin). Margin: 2 m sensor offset + 2 cells.
+        # margin). Margin: window_margin of sensor offset + 2 cells.
         half_diag = (
             0.5 * math.hypot(geom.rows, geom.cols) * geom.resolution
         )
-        local_bound = half_diag + 2.0 + 2.0 * geom.resolution
+        local_bound = half_diag + window_margin + 2.0 * geom.resolution
         if ray_max_range is None or (
             not ray_range_explicit and ray_max_range > local_bound
         ):
@@ -372,10 +384,10 @@ def _build_phases(
     # ---- Update window: O(range^2) per-scan cost on large maps ----
     # Every cell a scan can touch lies within the POINT FILTER's range
     # bound of the sensor (points pass the filter in the BASE frame; the
-    # bound carries a 2 m base->sensor margin — same analysis as the
-    # polar-field bound above; rays end AT points, so the same bound
-    # covers ray-touched cells even when raycasting.max_range is set
-    # smaller/larger), so BOTH the rasterizer's scatter tables and the
+    # bound carries a ``window_margin`` base->sensor allowance — same
+    # analysis as the polar-field bound above; rays end AT points, so the
+    # same bound covers ray-touched cells even when raycasting.max_range is
+    # set smaller/larger), so BOTH the rasterizer's scatter tables and the
     # dense map update (estimator recurrence, min/max/obstacle, raycast
     # log-odds) can run on a window of ~2*bound extent dynamic-sliced
     # around the sensor and written back with one dynamic_update_slice per
@@ -389,7 +401,9 @@ def _build_phases(
     # from raycasting.max_range — that key bounds the polar ray FIELD
     # (conservative) and must not gate which points rasterize.
     upd_bound = (
-        float(pf.range_max) * 1.1 + 2.0 if pf.range_max < 1e6 else None
+        float(pf.range_max) * 1.1 + window_margin
+        if pf.range_max < 1e6
+        else None
     )
     if upd_bound is not None:
         _wcells = int(math.ceil(2.0 * upd_bound / geom.resolution)) + 4
@@ -459,6 +473,7 @@ def _build_phases(
 
         # Sensor-centered update window (see the build-time block above).
         upd_window = None
+        oow_points = None
         if windowed:
             sr, sc, _ = geom.index_of(position, sensor_origin[:2])
             ur0 = jnp.clip(
@@ -470,6 +485,24 @@ def _build_phases(
                 0, geom.cols - upd_wc,
             )
             upd_window = (ur0, uc0, upd_wr, upd_wc)
+            # Window-violation guard (VERDICT r2 #6): the bound above
+            # assumes the base->sensor translation stays under
+            # window_margin. Count surviving IN-MAP points the window
+            # misses — such points would be silently dropped — so the
+            # facade/driver can warn (and the facade widen the margin)
+            # instead. One dense pass over N points; rides phase A.
+            pr, pc, in_map = geom.index_of(position, xyz_world[:, :2])
+            oow = (
+                keep
+                & in_map
+                & (
+                    (pr < ur0)
+                    | (pr >= ur0 + upd_wr)
+                    | (pc < uc0)
+                    | (pc >= uc0 + upd_wc)
+                )
+            )
+            oow_points = jnp.sum(oow).astype(jnp.int32)
         if cfg.raycasting.enabled and cfg.raycasting.method == "sampled":
             # Exactness-first mode: per-ray segment sampling at
             # dt <= res/sqrt(2) — every traversed cell is sampled like
@@ -618,7 +651,10 @@ def _build_phases(
             if upd_window is not None
             else None
         )
-        return obs, ray, sensor_origin, xyz_world, keep, z_var, win_rc
+        return (
+            obs, ray, sensor_origin, xyz_world, keep, z_var, win_rc,
+            oow_points,
+        )
 
     def phase_a_batched(
         positions, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None
@@ -763,7 +799,7 @@ def _build_phases(
                 ray_min = jnp.where(ray_touched, h_cell, jnp.nan)
             ray = (ray_min, ray_touched)
 
-        return obs, ray, sensor_origin, xyz_world, keep, z_var, None
+        return obs, ray, sensor_origin, xyz_world, keep, z_var, None, None
 
     if (
         scatter_mode != "rows"
@@ -798,7 +834,7 @@ def _build_phases(
         return state
 
     def phase_b(state, T_wb, frame_nonempty, pa):
-        obs, ray, sensor_origin, _xyz_world, _keep, _z_var, win_rc = pa
+        obs, ray, sensor_origin, _xyz_world, _keep, _z_var, win_rc, _oow = pa
         # ---- 2.+3. Map update (elevation_mapping.cpp:110-125) + raycast
         # visibility (src/raycasting.cpp) ----
         if local_mode:
@@ -1174,8 +1210,16 @@ class FastDEM:
         # and donating would invalidate their buffers mid-read. The extra
         # copy is a few MB; latency-critical loops should use
         # build_integrate(donate=True) with exclusive buffer ownership.
+        # Base->sensor translation allowance baked into the update-window /
+        # polar-field bounds; widened automatically (with a step rebuild)
+        # when a larger extrinsic shows up (VERDICT r2 #6 — a 3 m boom must
+        # widen the window or warn, never silently drop points).
+        self._window_margin = 2.0
+        self._oow_check_every = 64
+        self._scan_counter = 0
         self._step = build_integrate(
-            geom, self.cfg, has_intensity, has_color, donate=False
+            geom, self.cfg, has_intensity, has_color, donate=False,
+            window_margin=self._window_margin,
         )
         self.calibration = None  # Calibration provider (transform_interface)
         self.odometry = None  # Odometry provider
@@ -1190,7 +1234,7 @@ class FastDEM:
     def _rebuild(self):
         self._step = build_integrate(
             self.geom, self.cfg, self.has_intensity, self.has_color,
-            donate=False,
+            donate=False, window_margin=self._window_margin,
         )
         self._seq_cache.clear()
         # Estimator/raycast layer sets may change; merge-preserving rebuild
@@ -1302,6 +1346,22 @@ class FastDEM:
 
             color_packed = pack_rgb(cloud.channels["color"])
 
+        # Window-margin guard: the update-window bound assumes the
+        # base->sensor xy offset stays under the built margin. Widen (one
+        # recompile) BEFORE integrating rather than silently dropping
+        # points past the window (VERDICT r2 #6).
+        off = float(np.hypot(float(T_base_sensor[0][3]),
+                             float(T_base_sensor[1][3])))
+        if off + 0.5 > self._window_margin:
+            log = logging.getLogger("fastdem_tpu")
+            log.warning(
+                "[FastDEM] base->sensor xy offset %.2f m exceeds the "
+                "window margin %.2f m; widening to %.2f m (recompile).",
+                off, self._window_margin, off + 1.0,
+            )
+            self._window_margin = off + 1.0
+            self._rebuild()
+
         T_bs = jnp.asarray(T_base_sensor, dtype=jnp.float32)
         T_wb = jnp.asarray(T_world_base, dtype=jnp.float32)
         self.state, aux = self._step(
@@ -1309,6 +1369,21 @@ class FastDEM:
             intensity, color_packed,
         )
         self.last_aux = aux
+        # Backstop for paths the extrinsic guard can't see (e.g. dynamic
+        # extrinsics): periodically fetch the out-of-window point count.
+        self._scan_counter += 1
+        if (
+            aux.oow_points is not None
+            and self._scan_counter % self._oow_check_every == 0
+        ):
+            n_oow = int(aux.oow_points)
+            if n_oow:
+                logging.getLogger("fastdem_tpu").error(
+                    "[FastDEM] %d in-map points fell OUTSIDE the update "
+                    "window this scan and were dropped — base->sensor "
+                    "offset exceeds the window margin (%.2f m); widen it "
+                    "or check extrinsics.", n_oow, self._window_margin,
+                )
         if self.on_preprocessed is not None:
             self.on_preprocessed(aux)
         if self.on_rasterized is not None:

@@ -6,9 +6,10 @@ passes — runs on a sensor-centered window of ~2*range extent
 (dynamic-sliced, updated, written back), making per-scan cost O(range^2)
 instead of O(map area). Every touched cell lies inside the window (the
 range filter bounds points in the BASE frame; the window carries the same
-2 m base->sensor margin as the polar-field bound), so results must be
-EXACTLY equal to the full-map path — these tests assert bitwise equality
-on every layer, the aux observations, and the position.
+base->sensor margin as the polar-field bound — default 2 m, widened by
+the facade when a larger extrinsic registers), so results must be EXACTLY
+equal to the full-map path — these tests assert bitwise equality on every
+layer, the aux observations, and the position.
 """
 
 import numpy as np
@@ -136,6 +137,106 @@ def test_small_ray_max_range_does_not_shrink_window():
     s1, a1 = _run(geom, cfg, window_update=False)
     s2, a2 = _run(geom, cfg, window_update=None)
     _assert_exact(s1, a1, s2, a2)
+
+
+class TestExtrinsicMarginGuard:
+    """VERDICT r2 #6: a base->sensor translation beyond the built window
+    margin must never silently drop points — the low-level step reports
+    them (aux.oow_points), the facade widens the margin automatically."""
+
+    def _boom_setup(self):
+        cfg = Config()
+        cfg.mapping.mode = MappingMode.GLOBAL
+        cfg.point_filter.range_max = 6.0
+        geom = GridGeometry.from_length(40.0, 40.0, 0.1)
+        # 3 m boom along +x: points cluster around the SENSOR, the window
+        # bound assumes they cluster around the BASE within margin.
+        T_bs = np.eye(4, dtype=np.float32)
+        T_bs[0, 3] = 3.0
+        T_bs[2, 3] = 1.0
+        rng = np.random.default_rng(5)
+        N = 4096
+        ang = rng.uniform(0, 2 * np.pi, N)
+        rad = rng.uniform(0.5, 5.8, N)
+        # Cloud centered on the BASE (sensor-frame coords shifted by the
+        # inverse boom): every point passes the base-frame range filter
+        # (<= 5.8 m), but points on the far side sit up to 8.8 m from the
+        # SENSOR the window centers on — past a tight window bound.
+        xyz = np.stack(
+            [rad * np.cos(ang) - T_bs[0, 3], rad * np.sin(ang),
+             rng.normal(-2.0, 0.05, N)], -1
+        ).astype(np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        return cfg, geom, T_bs, xyz, pose, N
+
+    def test_oow_points_reported_and_zero_with_wide_margin(self):
+        cfg, geom, T_bs, xyz, pose, N = self._boom_setup()
+        # Points live within 5.8 m of the SENSOR (3 m off-base): the base
+        # range filter (range_max 6) rejects the far lobe, but survivors
+        # can still sit past the default window. Build with a deliberately
+        # TIGHT margin to force drops, then with a wide one.
+        s = create_map_state(geom, cfg)
+        step_tight = build_integrate(
+            geom, cfg, donate=False, window_margin=0.0
+        )
+        _, aux = step_tight(
+            s, jnp.asarray(xyz), jnp.ones(N, bool), jnp.asarray(T_bs),
+            jnp.asarray(pose),
+        )
+        assert aux.oow_points is not None
+        assert int(aux.oow_points) > 0  # the silent-drop case, now visible
+
+        step_wide = build_integrate(
+            geom, cfg, donate=False, window_margin=4.0
+        )
+        _, aux2 = step_wide(
+            s, jnp.asarray(xyz), jnp.ones(N, bool), jnp.asarray(T_bs),
+            jnp.asarray(pose),
+        )
+        assert aux2.oow_points is not None
+        assert int(aux2.oow_points) == 0
+
+    def test_widened_margin_matches_full_map(self):
+        """Windowed with margin covering the boom == full-map path."""
+        cfg, geom, T_bs, xyz, pose, N = self._boom_setup()
+        outs = []
+        for wu, margin in ((False, 2.0), (None, 4.0)):
+            s = create_map_state(geom, cfg)
+            step = build_integrate(
+                geom, cfg, donate=False, window_update=wu,
+                window_margin=margin,
+            )
+            s, _ = step(
+                s, jnp.asarray(xyz), jnp.ones(N, bool), jnp.asarray(T_bs),
+                jnp.asarray(pose),
+            )
+            outs.append(s)
+        for k in outs[0].layers:
+            np.testing.assert_array_equal(
+                np.asarray(outs[0].layers[k]), np.asarray(outs[1].layers[k]),
+                err_msg=f"layer {k}",
+            )
+
+    def test_facade_widens_margin_on_boom_extrinsic(self, caplog):
+        import logging
+
+        import fastdem_tpu as fd
+        from fastdem_tpu.cloud.pointcloud import from_numpy
+
+        cfg, geom, T_bs, xyz, pose, N = self._boom_setup()
+        mapper = fd.FastDEM(geom, cfg)
+        assert mapper._window_margin == 2.0
+        with caplog.at_level(logging.WARNING, logger="fastdem_tpu"):
+            ok = mapper.integrate(
+                from_numpy(xyz), T_base_sensor=T_bs, T_world_base=pose
+            )
+        assert ok
+        assert mapper._window_margin > 3.0
+        assert any("window margin" in r.message for r in caplog.records)
+        # After widening, nothing is dropped.
+        assert mapper.last_aux.oow_points is None or (
+            int(mapper.last_aux.oow_points) == 0
+        )
 
 
 def test_sensor_near_map_edge_windowed_exact():
