@@ -218,6 +218,7 @@ def build_integrate(
     polar_field_impl: Optional[str] = None,
     window_update: Optional[bool] = None,
     window_margin: float = 2.0,
+    spmd_blocks: Optional[tuple] = None,
 ):
     """Compile the per-scan integrate step.
 
@@ -235,12 +236,24 @@ def build_integrate(
     evidence multiplicity (rasterize_scatter_packed docstring); "span"
     requires scatter_mode="packed". Defaults to
     ``cfg.raycasting.voxel_count_mode``.
+
+    ``spmd_blocks``: (mx, my) mesh extents — build the step for execution
+    INSIDE ``shard_map`` over a ("mx", "my") device mesh with the layer
+    arrays block-sharded [rows/mx, cols/my] and every other input
+    replicated. Each device runs the windowed update on the (statically
+    clamped) intersection of the global update window with its block, so
+    no collective appears anywhere in the step — the polar ray field is
+    computed per-device from the replicated points (which also lets the
+    Pallas VMEM tail run unpartitioned; VERDICT r2 #2). Requires GLOBAL
+    mode and a configuration where the windowed path engages. The
+    returned aux carries ``obs=None`` (window-shaped observations cannot
+    be expanded device-locally to the full map).
     """
     phase_a, phase_b, moved_position, _ = _build_phases(
         geom, cfg, ray_num_azimuth, ray_range_bin_factor, ray_max_range,
         scatter_mode, voxel_count_mode, ray_exact_window,
         polar_field_impl=polar_field_impl, window_update=window_update,
-        window_margin=window_margin,
+        window_margin=window_margin, spmd_blocks=spmd_blocks,
     )
     local_mode = cfg.mapping.mode == MappingMode.LOCAL
 
@@ -258,7 +271,11 @@ def build_integrate(
         pa = phase_a(position, xyz, mask, T_bs, T_wb, intensity, color_packed)
         state = phase_b(state, T_wb, jnp.any(mask), pa)
         obs, _ray, _origin, xyz_world, keep, z_var, win_rc, oow = pa
-        if win_rc is not None:
+        if spmd_blocks is not None:
+            # Per-device window-shaped observations; no device-local
+            # full-map expansion exists (see docstring).
+            obs = None
+        elif win_rc is not None:
             # Windowed update: the aux callbacks see full-map observations
             # (expanded here; DCE'd when the caller discards aux).
             obs = _expand_obs(geom, obs, win_rc)
@@ -285,6 +302,7 @@ def _build_phases(
     polar_field_impl: Optional[str] = None,
     window_update: Optional[bool] = None,
     window_margin: float = 2.0,
+    spmd_blocks: Optional[tuple] = None,
 ):
     """Split the integrate step into:
 
@@ -416,6 +434,32 @@ def _build_phases(
         and 2 * upd_wr * upd_wc <= geom.num_cells
         and not (cfg.raycasting.enabled and cfg.raycasting.method == "sampled")
     )
+    # shard_map execution (see build_integrate docstring): the GLOBAL
+    # window is clamped per device onto its block; a window of size
+    # min(global window, block) positioned at clip(g0 - block0, 0,
+    # block - w') always covers window-intersect-block, and blocks are
+    # disjoint, so the per-device updates tile the global windowed update
+    # exactly. Points are additionally masked to the GLOBAL window so a
+    # block-edge-clamped device window never rasterizes points the
+    # unsharded windowed path would not.
+    upd_wr_g, upd_wc_g = upd_wr, upd_wc
+    if spmd_blocks is not None:
+        smx, smy = int(spmd_blocks[0]), int(spmd_blocks[1])
+        if local_mode:
+            raise ValueError("spmd_blocks requires GLOBAL mapping mode")
+        if not windowed:
+            raise ValueError(
+                "spmd_blocks requires a configuration where the windowed "
+                "update engages (finite point_filter.range_max with a "
+                "window at most half the map; rows/packed scatter mode)"
+            )
+        if geom.rows % smx or geom.cols % smy:
+            raise ValueError(
+                f"map shape {geom.shape} not divisible by mesh {spmd_blocks}"
+            )
+        block_rows, block_cols = geom.rows // smx, geom.cols // smy
+        upd_wr = min(upd_wr_g, block_rows)
+        upd_wc = min(upd_wc_g, block_cols)
     eff_cells = upd_wr * upd_wc if windowed else geom.num_cells
     if scatter_mode == "rows" and eff_cells > (1 << 19):
         # TPU arrays pad the minor dim to 128 lanes, so the row table's
@@ -474,35 +518,48 @@ def _build_phases(
         # Sensor-centered update window (see the build-time block above).
         upd_window = None
         oow_points = None
+        keep_r = keep  # rasterizer mask (tightened to the global window
+        # under shard_map; the window itself masks it otherwise)
+        win_store = None  # offsets phase_b slices at (local under spmd)
         if windowed:
             sr, sc, _ = geom.index_of(position, sensor_origin[:2])
             ur0 = jnp.clip(
-                jnp.clip(sr, 0, geom.rows) - upd_wr // 2,
-                0, geom.rows - upd_wr,
+                jnp.clip(sr, 0, geom.rows) - upd_wr_g // 2,
+                0, geom.rows - upd_wr_g,
             )
             uc0 = jnp.clip(
-                jnp.clip(sc, 0, geom.cols) - upd_wc // 2,
-                0, geom.cols - upd_wc,
+                jnp.clip(sc, 0, geom.cols) - upd_wc_g // 2,
+                0, geom.cols - upd_wc_g,
             )
-            upd_window = (ur0, uc0, upd_wr, upd_wc)
             # Window-violation guard (VERDICT r2 #6): the bound above
             # assumes the base->sensor translation stays under
-            # window_margin. Count surviving IN-MAP points the window
-            # misses — such points would be silently dropped — so the
-            # facade/driver can warn (and the facade widen the margin)
+            # window_margin. Count surviving IN-MAP points the GLOBAL
+            # window misses — such points would be silently dropped — so
+            # the facade/driver can warn (and the facade widen the margin)
             # instead. One dense pass over N points; rides phase A.
             pr, pc, in_map = geom.index_of(position, xyz_world[:, :2])
-            oow = (
-                keep
-                & in_map
-                & (
-                    (pr < ur0)
-                    | (pr >= ur0 + upd_wr)
-                    | (pc < uc0)
-                    | (pc >= uc0 + upd_wc)
-                )
+            in_gwin = (
+                (pr >= ur0)
+                & (pr < ur0 + upd_wr_g)
+                & (pc >= uc0)
+                & (pc < uc0 + upd_wc_g)
             )
+            oow = keep & in_map & ~in_gwin
             oow_points = jnp.sum(oow).astype(jnp.int32)
+            if spmd_blocks is None:
+                upd_window = (ur0, uc0, upd_wr, upd_wc)
+                win_store = (ur0, uc0)
+            else:
+                # Per-device window: the global window clamped onto this
+                # device's block (covers window-intersect-block exactly;
+                # see the build-time note).
+                br0 = jax.lax.axis_index("mx").astype(jnp.int32) * block_rows
+                bc0 = jax.lax.axis_index("my").astype(jnp.int32) * block_cols
+                lur0 = jnp.clip(ur0 - br0, 0, block_rows - upd_wr)
+                luc0 = jnp.clip(uc0 - bc0, 0, block_cols - upd_wc)
+                upd_window = (br0 + lur0, bc0 + luc0, upd_wr, upd_wc)
+                win_store = (lur0, luc0)
+                keep_r = keep & in_gwin
         if cfg.raycasting.enabled and cfg.raycasting.method == "sampled":
             # Exactness-first mode: per-ray segment sampling at
             # dt <= res/sqrt(2) — every traversed cell is sampled like
@@ -584,7 +641,7 @@ def _build_phases(
             geom,
             position,
             xyz_world,
-            keep,
+            keep_r,
             z_var,
             intensity=intensity,
             color_packed=color_packed,
@@ -647,8 +704,8 @@ def _build_phases(
                 ray = (ray_min, ray_touched)
 
         win_rc = (
-            jnp.stack([upd_window[0], upd_window[1]])
-            if upd_window is not None
+            jnp.stack([win_store[0], win_store[1]])
+            if win_store is not None
             else None
         )
         return (

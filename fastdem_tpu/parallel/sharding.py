@@ -97,6 +97,78 @@ def shard_state(state: GridMapState, mesh: Mesh) -> GridMapState:
     )
 
 
+def _shardmap_step(
+    geom, cfg, mesh, has_intensity, has_color, donate, polar_field_impl,
+    window_update,
+):
+    """shard_map formulation (VERDICT r2 #2): the whole windowed integrate
+    step runs per-device on the block-local layers — each device updates
+    the statically clamped intersection of the global update window with
+    its block, and the per-scan polar ray field is computed per-device
+    from the replicated points (so the Pallas VMEM tail runs unpartitioned
+    — no custom-call partitioning is ever needed). ZERO collectives per
+    scan: blocks tile the global windowed update exactly
+    (mapping/pipeline.py spmd_blocks notes).
+
+    Raises ValueError when the configuration can't use it (LOCAL mode,
+    no finite range filter, window > half map, indivisible shapes) —
+    callers fall back to the GSPMD full-map path.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from fastdem_tpu.mapping.pipeline import (
+        IntegrateAux,
+        build_integrate,
+        create_map_state,
+    )
+
+    if window_update is False:
+        raise ValueError("caller pinned window_update=False")
+    smx, smy = mesh.shape[MAP_AXES[0]], mesh.shape[MAP_AXES[1]]
+    raw = build_integrate(
+        geom, cfg, has_intensity, has_color, jit=False,
+        polar_field_impl=polar_field_impl, window_update=window_update,
+        spmd_blocks=(smx, smy),
+    )
+    proto = create_map_state(geom, cfg, (0.0, 0.0), has_intensity, has_color)
+    lyr_spec = P(*MAP_AXES)
+    rp = P()
+    st_spec = GridMapState(
+        layers={k: lyr_spec for k in proto.layers}, position=rp
+    )
+    aux_spec = IntegrateAux(
+        world_xyz=rp, world_mask=rp, z_var=rp, obs=None, oow_points=rp
+    )
+    n_chan = int(has_intensity) + int(has_color)
+
+    def fixed(state, xyz, mask, T_bs, T_wb, *chans):
+        intensity = chans[0] if has_intensity else None
+        color = chans[-1] if has_color else None
+        return raw(state, xyz, mask, T_bs, T_wb, intensity, color)
+
+    inner = shard_map(
+        fixed,
+        mesh=mesh,
+        in_specs=(st_spec,) + (rp,) * (4 + n_chan),
+        out_specs=(st_spec, aux_spec),
+        # Replication of the aux outputs holds by construction (they are
+        # computed from replicated inputs only); the checker can't see
+        # through the scatter/gather ops.
+        check_rep=False,
+    )
+    jitted = jax.jit(inner, donate_argnums=(0,) if donate else ())
+
+    def step(state, xyz, mask, T_bs, T_wb, intensity=None, color_packed=None):
+        args = [state, xyz, mask, T_bs, T_wb]
+        if has_intensity:
+            args.append(intensity)
+        if has_color:
+            args.append(color_packed)
+        return jitted(*args)
+
+    return step, inner
+
+
 def build_sharded_integrate(
     geom,
     cfg,
@@ -104,14 +176,34 @@ def build_sharded_integrate(
     has_intensity: bool = False,
     has_color: bool = False,
     donate: bool = True,
+    window_update: bool = None,
+    polar_field_impl: str = None,
 ):
-    """Jit the integrate step with explicit shardings: map blocks sharded
-    over the mesh, scan arrays replicated. Returns (step_fn, shard_fn)."""
+    """Jit the integrate step over the mesh. Two formulations:
+
+    1. shard_map windowed (GLOBAL maps with a finite range filter): each
+       device updates window-intersect-block locally — zero per-scan
+       collectives, window-local O(range^2) dense cost, and the Pallas
+       polar tail available per-device (``polar_field_impl`` defaults to
+       the config key, normally "auto"). Preferred whenever it applies.
+    2. GSPMD full-map fallback (LOCAL mode or no usable window): map
+       blocks sharded over the mesh, scan arrays replicated, GSPMD
+       partitions the scatters; polar_field_impl pinned to "xla" (the
+       custom call must not be partitioned) and window_update=False (the
+       window slices would insert per-scan collectives).
+
+    Returns (step_fn, shard_fn)."""
     from fastdem_tpu.mapping.pipeline import build_integrate, create_map_state
 
-    # polar_field_impl pinned to "xla": the Pallas polar kernel is
-    # validated single-chip; under GSPMD the custom-call's partitioning is
-    # not — the XLA formulation partitions like any dense op.
+    try:
+        step, _ = _shardmap_step(
+            geom, cfg, mesh, has_intensity, has_color, donate,
+            polar_field_impl, window_update,
+        )
+        return step, lambda s: shard_state(s, mesh)
+    except ValueError:
+        pass
+
     raw = build_integrate(
         geom, cfg, has_intensity, has_color, jit=False,
         polar_field_impl="xla", window_update=False,
@@ -174,10 +266,49 @@ def build_sharded_integrate_sequence(
         create_map_state,
     )
 
+    # shard_map windowed formulation when it applies (see
+    # build_sharded_integrate): lax.scan over the per-device windowed
+    # step — zero collectives per scan, Pallas polar available.
+    if seq_kwargs.get("window_update") is not False and not any(
+        k not in ("window_update", "polar_field_impl") for k in seq_kwargs
+    ):
+        try:
+            _, inner = _shardmap_step(
+                geom, cfg, mesh, has_intensity, has_color, False,
+                seq_kwargs.get("polar_field_impl"),
+                seq_kwargs.get("window_update"),
+            )
+
+            def scan_fn(state, xyz, mask, T_bs, T_wb, intensity=None,
+                        color_packed=None):
+                def body(s, inp):
+                    args = [s, inp[0], inp[1], T_bs, inp[2]]
+                    if has_intensity:
+                        args.append(inp[3])
+                    if has_color:
+                        args.append(inp[-1])
+                    s, _ = inner(*args)
+                    return s, ()
+
+                xs = [xyz, mask, T_wb]
+                if has_intensity:
+                    xs.append(intensity)
+                if has_color:
+                    xs.append(color_packed)
+                state, _ = jax.lax.scan(body, state, tuple(xs))
+                return state
+
+            jitted_seq = jax.jit(
+                scan_fn, donate_argnums=(0,) if donate else ()
+            )
+            return jitted_seq, lambda s: shard_state(s, mesh)
+        except ValueError:
+            pass
+
     seq_kwargs.setdefault("polar_field_impl", "xla")  # see above
     # Windowed updates dynamic-slice across block shards (collectives per
-    # scan) — the sharded path keeps full-map updates, whose scatters stay
-    # shard-local.
+    # scan) — the GSPMD fallback keeps full-map updates, whose scatters
+    # stay shard-local.
     seq_kwargs.setdefault("window_update", False)
     raw = build_integrate_sequence(
         geom, cfg, has_intensity, has_color, jit=False, **seq_kwargs

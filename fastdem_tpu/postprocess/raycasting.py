@@ -242,6 +242,12 @@ def polar_smeared_field(
     "auto" (pallas when the backend is TPU and the shape qualifies).
     Results agree to f32 FMA-contraction tolerance (<4e-6 on heights;
     identical finite sets — tests/test_rowops.py)."""
+    interpret = False
+    if impl == "pallas_interpret":
+        # Mosaic interpreter: exercises the Pallas code path on CPU (the
+        # virtual-mesh sharding tests drive the shard_map'd kernel this
+        # way); never for production use.
+        impl, interpret = "pallas", True
     if impl not in ("xla", "pallas", "auto"):
         raise ValueError(f"unknown polar_field_impl: {impl!r}")
     if impl == "auto":
@@ -265,6 +271,7 @@ def polar_smeared_field(
         return polar_smeared_field_pallas(
             geom, sensor_origin, scat_flat, num_azimuth,
             range_bin_factor, max_range, exact_window=exact_window,
+            interpret=interpret,
         )
     A, R, dr = polar_dims(geom, num_azimuth, range_bin_factor, max_range)
     scat = scat_flat.reshape(R, A)

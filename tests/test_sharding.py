@@ -559,6 +559,121 @@ class TestWeakScaling:
         assert abs(rep["speedup"] - rep["efficiency"] * 8) < 1e-9
 
 
+class TestShardMapWindowed:
+    """The shard_map windowed formulation (VERDICT r2 #2): each device
+    updates window-intersect-block locally — zero per-scan collectives —
+    and the polar ray field (incl. the Pallas VMEM tail) is computed
+    per-device from the replicated points."""
+
+    @pytest.fixture(scope="class")
+    def global_cfg(self):
+        geom = GridGeometry.from_length(32.0, 32.0, 0.25)  # 128x128
+        cfg = Config()
+        cfg.mapping.mode = MappingMode.GLOBAL
+        cfg.point_filter.range_max = 5.0  # window 64 << 128: gate engages
+        cfg.raycasting.enabled = True
+        return geom, cfg
+
+    @pytest.fixture(scope="class")
+    def reference_state(self, global_cfg):
+        geom, cfg = global_cfg
+        xyz, mask = scan(4000, seed=3)
+        step1 = build_integrate(geom, cfg, donate=False, window_update=True)
+        s1 = create_map_state(geom, cfg)
+        for k in range(3):
+            T_wb = I4.at[0, 3].set(1.5 * k).at[1, 3].set(-0.7 * k)
+            s1, _ = step1(s1, xyz, mask, I4, T_wb)
+        return s1
+
+    def _run_sharded(self, geom, cfg, n_steps=3, seq=False, **kw):
+        xyz, mask = scan(4000, seed=3)
+        mesh = sh.make_mesh(8)
+        if seq:
+            seqN, shard = sh.build_sharded_integrate_sequence(
+                geom, cfg, mesh, donate=False, **kw
+            )
+            T_wbs = jnp.stack(
+                [
+                    I4.at[0, 3].set(1.5 * k).at[1, 3].set(-0.7 * k)
+                    for k in range(n_steps)
+                ]
+            )
+            sN = shard(create_map_state(geom, cfg))
+            return seqN(
+                sN,
+                jnp.broadcast_to(xyz, (n_steps,) + xyz.shape),
+                jnp.broadcast_to(mask, (n_steps,) + mask.shape),
+                I4,
+                T_wbs,
+            ), None
+        stepN, shard = sh.build_sharded_integrate(
+            geom, cfg, mesh, donate=False, **kw
+        )
+        sN = shard(create_map_state(geom, cfg))
+        aux = None
+        for k in range(n_steps):
+            T_wb = I4.at[0, 3].set(1.5 * k).at[1, 3].set(-0.7 * k)
+            sN, aux = stepN(sN, xyz, mask, I4, T_wb)
+        return sN, aux
+
+    def test_path_engages(self, global_cfg):
+        geom, cfg = global_cfg
+        mesh = sh.make_mesh(8)
+        sh._shardmap_step(geom, cfg, mesh, False, False, False, None, None)
+
+    def test_local_mode_falls_back(self):
+        geom = GridGeometry.from_length(16.0, 16.0, 0.25)
+        cfg = Config()  # LOCAL
+        mesh = sh.make_mesh(8)
+        with pytest.raises(ValueError):
+            sh._shardmap_step(geom, cfg, mesh, False, False, False, None, None)
+
+    def test_step_bitwise_equals_unsharded(self, global_cfg, reference_state):
+        geom, cfg = global_cfg
+        sN, aux = self._run_sharded(geom, cfg)
+        assert aux.obs is None
+        assert int(aux.oow_points) == 0
+        for name in reference_state.layers:
+            np.testing.assert_array_equal(
+                np.asarray(reference_state.layers[name]),
+                np.asarray(sN.layers[name]),
+                err_msg=name,
+            )
+
+    def test_layers_actually_sharded(self, global_cfg):
+        geom, cfg = global_cfg
+        sN, _ = self._run_sharded(geom, cfg, n_steps=1)
+        assert sN.layers[layers.elevation].sharding.is_fully_replicated \
+            is False
+
+    def test_sequence_bitwise_equals_unsharded(
+        self, global_cfg, reference_state
+    ):
+        geom, cfg = global_cfg
+        sS, _ = self._run_sharded(geom, cfg, seq=True)
+        for name in reference_state.layers:
+            np.testing.assert_array_equal(
+                np.asarray(reference_state.layers[name]),
+                np.asarray(sS.layers[name]),
+                err_msg=name,
+            )
+
+    def test_pallas_polar_under_shard_map(self, global_cfg, reference_state):
+        """The Pallas polar kernel (Mosaic interpreter on CPU) inside the
+        shard_map step: bitwise-equal layers vs the unsharded XLA-impl
+        windowed path."""
+        geom, cfg = global_cfg
+        sP, _ = self._run_sharded(
+            geom, cfg, polar_field_impl="pallas_interpret"
+        )
+        for name in reference_state.layers:
+            np.testing.assert_array_equal(
+                np.asarray(reference_state.layers[name]),
+                np.asarray(sP.layers[name]),
+                err_msg=name,
+            )
+
+
 class TestWindowedUnderGspmd:
     def test_windowed_step_matches_unsharded(self):
         """Window-local updates under GSPMD (dynamic slice + write-back on
