@@ -35,7 +35,7 @@ def make_scans(K, N, rng, spread=7.2):
     return np.stack([x, y, z], axis=-1).astype(np.float32)
 
 
-def chain_time(step, state, scans, masks, tx, reps=3):
+def chain_time(step, state, scans, masks, tx, pairs=10):
     import jax
     import jax.numpy as jnp
 
@@ -61,10 +61,18 @@ def chain_time(step, state, scans, masks, tx, reps=3):
     # Two-length difference estimator: each run() call pays a host->tunnel
     # dispatch round trip D (~10-40 ms, session-variable) on top of the K
     # scans of device work, T(K) = D + K*s. Timing the SAME step chained
-    # over K and 2K scans and differencing cancels D exactly — at K=64 the
-    # raw quotient overstates s by ~0.1-0.6 ms/scan (BENCH_NOTES.md
-    # "Dispatch correction"). Falls back to the raw quotient (still
-    # dispatch-inflated, i.e. conservative) if the 2K variant fails.
+    # over K and 2K scans and differencing cancels D in expectation — at
+    # K=64 the raw quotient overstates s by ~0.1-0.6 ms/scan (BENCH_NOTES
+    # "Dispatch correction"). D's per-call JITTER is ~±10 ms, i.e. ±0.15
+    # ms/scan per leg at K=64 — a single difference (or a 3-rep pool) is
+    # what produced the "compile-draw variance" myth: identical executables
+    # measured 0.46-0.98 ms/scan per pair while compilation is fully
+    # deterministic (identical fingerprints; salted HLO dumps differ only
+    # in the salt constant — tools/bench_compile_draws.py r3). Robust
+    # estimator: MEDIANS of the two legs over ``pairs`` interleaved
+    # repetitions, differenced — kills dispatch-stall tails on both legs.
+    # Falls back to the raw quotient (dispatch-inflated, i.e. conservative)
+    # if the 2K variant fails.
     diff = True
     try:
         scans2 = jnp.concatenate([scans, scans])
@@ -76,28 +84,39 @@ def chain_time(step, state, scans, masks, tx, reps=3):
     except Exception as e:  # noqa: BLE001
         print(f"2K chain failed ({e}); raw quotient only", file=sys.stderr)
         diff = False
-    t1 = t2 = 0.0
-    for _ in range(reps):
+    t1s, t2s = [], []
+    for _ in range(pairs if diff else 3):
         t0 = time.time()
         out = run(state, scans, masks, tx)
         jax.block_until_ready(out.layers)
-        t1 += time.time() - t0
+        t1s.append(time.time() - t0)
         if diff:
             t0 = time.time()
             out2 = run(state, scans2, masks2, tx2)
             jax.block_until_ready(out2.layers)
-            t2 += time.time() - t0
-    raw = t1 / (reps * K) * 1e3
+            t2s.append(time.time() - t0)
+    raw = float(np.median(t1s)) / K * 1e3
     if not diff:
         return raw, compile_s
     # Clamp: timing noise can make the difference non-positive for
     # sub-millisecond chains (the postprocess bench clamps the same way).
-    ms = max((t2 - t1) / (reps * K) * 1e3, 1e-4)
+    ms = max((float(np.median(t2s)) - float(np.median(t1s))) / K * 1e3, 1e-4)
+    per_pair = [(b - a) / K * 1e3 for a, b in zip(t1s, t2s)]
     print(
-        f"    [chain: device {ms:.3f} ms/scan; raw K={K} quotient {raw:.3f} "
-        f"incl. ~{max(raw - ms, 0.0):.3f} dispatch/scan]",
+        f"    [chain: device {ms:.3f} ms/scan (median-of-{len(t1s)} pairs; "
+        f"per-pair {min(per_pair):.3f}..{max(per_pair):.3f}); raw K={K} "
+        f"quotient {raw:.3f} incl. ~{max(raw - ms, 0.0):.3f} dispatch/scan]",
         file=sys.stderr,
     )
+    chain_time.last = {
+        "ms": round(ms, 4),
+        "pairs": len(t1s),
+        "per_pair_min": round(min(per_pair), 4),
+        "per_pair_max": round(max(per_pair), 4),
+        "raw_quotient": round(raw, 4),
+        "K": K,
+        "compile_s": round(compile_s, 1),
+    }
     return ms, compile_s
 
 
@@ -200,6 +219,14 @@ def main():
             file=sys.stderr,
         )
 
+    def emit_cfg(config, ms):
+        """One machine-readable stats line per config (collected by --all
+        into BENCH_ALL_r*.json; VERDICT r2 #3)."""
+        stats = dict(getattr(chain_time, "last", None) or {"ms": round(ms, 4)})
+        stats["config"] = config
+        stats["vs_baseline"] = round(baseline_ms / ms, 2)
+        print("BENCHCFG " + json.dumps(stats), flush=True)
+
     def mut_headline(cfg):
         cfg.raycasting.enabled = not args.no_raycast
 
@@ -211,6 +238,7 @@ def main():
 
         ms2, c2 = bench_pipeline(args.scans, args.points, mut_p2)
         log("p2 quantile + lidar + raycast", ms2, c2)
+        emit_cfg("p2_lidar_raycast_15m", ms2)
         return
     if args.config == "rgbd":
         from fastdem_tpu.config.config import SensorType
@@ -223,6 +251,7 @@ def main():
             max(4, args.scans // 2), 300000, mut_rgbd, spread=6.0
         )
         log("rgbd 300K pts local", ms3, c3)
+        emit_cfg("rgbd_300k_15m", ms3)
         return
     if args.config == "global":
         # GLOBAL 200 m @ 0.1 m (4M cells), 20 m range: exercises the
@@ -238,6 +267,7 @@ def main():
             geom_m=200.0,
         )
         log("global 200m 4M cells + raycast", ms4, c4)
+        emit_cfg("global_200m_raycast", ms4)
         return
 
     if args.trace:
