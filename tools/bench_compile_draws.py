@@ -110,21 +110,27 @@ def leaves(out):
     return jax.tree_util.tree_leaves(out)
 
 
-def measure(run1, run2, state, K, reps=3):
+def measure(run1, run2, state, K, pairs=10):
+    """Median-of-pairs two-length difference (same estimator as bench.py):
+    the per-call dispatch jitter (~±10 ms) that single differences leak —
+    the original source of the 'compile-draw variance' myth — is killed by
+    taking the MEDIAN of each leg over ``pairs`` interleaved reps."""
     t0 = time.time()
     jax.block_until_ready(leaves(run1(state)))
     jax.block_until_ready(leaves(run2(state)))
     warm_s = time.time() - t0
-    t1 = t2 = 0.0
-    for _ in range(reps):
+    t1s, t2s = [], []
+    for _ in range(pairs):
         t0 = time.time()
         jax.block_until_ready(leaves(run1(state)))
-        t1 += time.time() - t0
+        t1s.append(time.time() - t0)
         t0 = time.time()
         jax.block_until_ready(leaves(run2(state)))
-        t2 += time.time() - t0
-    ms = (t2 - t1) / (reps * K) * 1e3
-    raw = t1 / (reps * K) * 1e3
+        t2s.append(time.time() - t0)
+    med1 = sorted(t1s)[len(t1s) // 2]
+    med2 = sorted(t2s)[len(t2s) // 2]
+    ms = max((med2 - med1) / K * 1e3, 1e-4)
+    raw = med1 / K * 1e3
     return ms, raw, warm_s
 
 
@@ -198,6 +204,26 @@ def main():
     ms, raw, _ = measure(run1, run2, state, K)
     print(f"CTRL {args.config} {first} re-measure: {ms:7.4f} ms/scan "
           f"(raw {raw:7.4f})", flush=True)
+
+    import json
+
+    vals = [m for _, m, _ in results]
+    med = sorted(vals)[len(vals) // 2]
+    summary = {
+        "config": args.config,
+        "k": K,
+        "draws": [
+            {"label": lab, "ms": round(m, 4), "fp": fp}
+            for lab, m, fp in results
+        ],
+        "median_ms": round(med, 4),
+        "min_ms": round(min(vals), 4),
+        "max_ms": round(max(vals), 4),
+        "spread_pct": round((max(vals) - min(vals)) / med * 100, 1),
+        "ctrl_remeasure_ms": round(ms, 4),
+        "distinct_fingerprints": len({fp for _, _, fp in results}),
+    }
+    print("DRAWSUMMARY " + json.dumps(summary), flush=True)
 
     vals = [ms for _, ms, _ in results]
     print(
