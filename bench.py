@@ -186,7 +186,7 @@ def main():
                          "its own subprocess — see BENCH_NOTES.md on the "
                          "in-process ordering effect)")
     ap.add_argument("--config", default=None,
-                    choices=["p2", "rgbd", "global"],
+                    choices=["p2", "rgbd", "rgbd_masked", "global"],
                     help="run ONE non-headline config and exit (used by "
                          "--all's per-config subprocesses)")
     ap.add_argument("--scatter-mode", default="rows",
@@ -197,6 +197,10 @@ def main():
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the headline "
                          "run into DIR (view with tensorboard/xprof)")
+    ap.add_argument("--out", default=None, metavar="FILE",
+                    help="with --all: write every config's stats as one "
+                         "JSON file (the committed BENCH_ALL_r*.json "
+                         "artifact; VERDICT r2 #3)")
     args = ap.parse_args()
 
     import jax
@@ -219,13 +223,17 @@ def main():
             file=sys.stderr,
         )
 
+    collected = []
+
     def emit_cfg(config, ms):
         """One machine-readable stats line per config (collected by --all
         into BENCH_ALL_r*.json; VERDICT r2 #3)."""
         stats = dict(getattr(chain_time, "last", None) or {"ms": round(ms, 4)})
         stats["config"] = config
         stats["vs_baseline"] = round(baseline_ms / ms, 2)
+        chain_time.last = None
         print("BENCHCFG " + json.dumps(stats), flush=True)
+        collected.append(stats)
 
     def mut_headline(cfg):
         cfg.raycasting.enabled = not args.no_raycast
@@ -252,6 +260,57 @@ def main():
         )
         log("rgbd 300K pts local", ms3, c3)
         emit_cfg("rgbd_300k_15m", ms3)
+        return
+    if args.config == "rgbd_masked":
+        # 300K-capacity RGB-D frames with 60% invalid depth returns: masked
+        # scatter rows pay full per-index price (BENCH_NOTES), so the
+        # unbucketed program costs ~300K points' worth for 120K valid ones.
+        # FastDEM.integrate auto-compacts such frames to the geometric
+        # capacity ladder (131072 here); this config measures BOTH programs
+        # on the SAME valid points in one session — the delta is the pure
+        # capacity win (VERDICT r2 #4).
+        import jax.numpy as jnp
+
+        sys.path.insert(0, ".")
+        from fastdem_tpu import Config, GridGeometry
+        from fastdem_tpu.cloud.pointcloud import ladder_capacity
+        from fastdem_tpu.config.config import SensorType
+        from fastdem_tpu.mapping.pipeline import (
+            build_integrate,
+            create_map_state,
+        )
+
+        K, N, n_valid = max(4, args.scans // 2), 300000, 120000
+        cap_b = ladder_capacity(n_valid)
+        geom = GridGeometry.from_length(15.0, 15.0, 0.1)
+        cfg = Config()
+        cfg.raycasting.enabled = False
+        cfg.sensor_model.type = SensorType.RGBD
+        rng = np.random.default_rng(0)
+        scans = make_scans(K, N, rng, spread=6.0)
+        masks = np.zeros((K, N), dtype=bool)
+        comp = np.full((K, cap_b, 3), 1e9, dtype=np.float32)
+        comp_masks = np.zeros((K, cap_b), dtype=bool)
+        for k in range(K):
+            valid = np.sort(rng.choice(N, n_valid, replace=False))
+            masks[k, valid] = True
+            comp[k, :n_valid] = scans[k, valid]
+            comp_masks[k, :n_valid] = True
+        scans[~masks] = 1e9  # sentinel like from_numpy padding
+        tx = jnp.asarray(np.cumsum(rng.normal(0, 0.05, K)).astype(np.float32))
+        state = create_map_state(geom, cfg)
+        step = build_integrate(geom, cfg, jit=False)
+        ms_f, c_f = chain_time(
+            step, state, jnp.asarray(scans), jnp.asarray(masks), tx
+        )
+        log("rgbd 300K cap, 120K valid (full)", ms_f, c_f)
+        emit_cfg("rgbd_300k_masked60_fullcap", ms_f)
+        ms_b, c_b = chain_time(
+            step, state, jnp.asarray(comp), jnp.asarray(comp_masks), tx
+        )
+        log(f"same, bucketed cap {cap_b}", ms_b, c_b)
+        emit_cfg("rgbd_300k_masked60_bucketed", ms_b)
+        print(f"    [bucketing win: {ms_f / ms_b:.2f}x]", file=sys.stderr)
         return
     if args.config == "global":
         # GLOBAL 200 m @ 0.1 m (4M cells), 20 m range: exercises the
@@ -286,6 +345,7 @@ def main():
             scatter_mode=args.scatter_mode,
         )
     log("local kalman lidar + raycast", ms, comp)
+    emit_cfg("local_kalman_lidar_raycast_15m", ms)
 
     if args.fused or args.all:
         msf, cf = bench_pipeline(
@@ -293,6 +353,7 @@ def main():
             scatter_mode=args.scatter_mode, fused=True,
         )
         log("same, K-fused offline replay", msf, cf)
+        emit_cfg("kfused_offline_replay_15m", msf)
 
     if args.all:
         # Each config runs in its OWN process: configs measured after the
@@ -301,7 +362,7 @@ def main():
         # compile cache, so the isolation costs only startup time.
         import subprocess
 
-        for name in ("p2", "rgbd", "global"):
+        for name in ("p2", "rgbd", "rgbd_masked", "global"):
             r = subprocess.run(
                 [sys.executable, __file__, "--config", name,
                  "--scans", str(args.scans), "--points", str(args.points)],
@@ -310,6 +371,9 @@ def main():
             for line in r.stderr.splitlines():
                 if "ms/scan" in line or "chain:" in line:
                     print(line, file=sys.stderr)
+            for line in r.stdout.splitlines():
+                if line.startswith("BENCHCFG "):
+                    collected.append(json.loads(line[len("BENCHCFG "):]))
             if r.returncode != 0:
                 print(f"[--all] config {name} failed:\n{r.stderr[-800:]}",
                       file=sys.stderr)
@@ -356,11 +420,13 @@ def main():
             t0 = time.time()
             jax.block_until_ready(pp2(elev))
             t2 += time.time() - t0
-        log(
-            "postprocess chain (UF+inp+FE)",
-            max((t2 - t1) / (3 * Kpp) * 1e3, 1e-4),
-            0,
-        )
+        ms_pp = max((t2 - t1) / (3 * Kpp) * 1e3, 1e-4)
+        log("postprocess chain (UF+inp+FE)", ms_pp, 0)
+        collected.append({
+            "config": "postprocess_uf_inpaint_fe_15m",
+            "ms": round(ms_pp, 4),
+            "K": Kpp,
+        })
 
         if jax.device_count() > 1:
             from fastdem_tpu.config.config import Config, MappingMode
@@ -371,6 +437,19 @@ def main():
             cfg_g.mapping.mode = MappingMode.GLOBAL
             rep = scaling_report(geom_g, cfg_g, scans=8)
             print(f"sharded global map: {rep}", file=sys.stderr)
+
+    if args.all and args.out:
+        artifact = {
+            "device": str(jax.devices()[0]),
+            "baseline_ms": baseline_ms,
+            "estimator": "two-length difference, median-of-pairs "
+                         "(see chain_time)",
+            "configs": collected,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
+            f.write("\n")
+        print(f"wrote {args.out}", file=sys.stderr)
 
     print(
         json.dumps(

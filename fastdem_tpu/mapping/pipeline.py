@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fastdem_tpu.cloud import pointcloud as pc
 from fastdem_tpu.cloud import transform as tfm
 from fastdem_tpu.config.config import (
     Config,
@@ -1252,12 +1253,17 @@ class FastDEM:
         frame_id: str = "map",
         has_intensity: bool = False,
         has_color: bool = False,
+        auto_bucket: bool = True,
     ):
         self.geom = geom
         self.cfg = cfg or Config()
         self.frame_id = frame_id
         self.has_intensity = has_intensity
         self.has_color = has_color
+        # Compact+pad scans to the geometric capacity ladder when their
+        # valid count sits well below capacity (RGB-D invalid depth);
+        # see integrate() and cloud.pointcloud.compact_to_bucket.
+        self.auto_bucket = auto_bucket
         self._origin = tuple(position)
         self.state = create_map_state(
             geom, self.cfg, position, has_intensity, has_color
@@ -1395,6 +1401,20 @@ class FastDEM:
                 "[FastDEM] Received empty cloud. Skipping..."
             )
             return False
+
+        # Auto bucket selection (VERDICT r2 #4): scatter cost is linear in
+        # CAPACITY whether rows are masked or not, so a frame whose valid
+        # count sits a ladder bucket (or more) below its capacity — the
+        # RGB-D invalid-depth case — is truly compacted host-side and run
+        # through the next ladder program. Bit-identical map state (order-
+        # preserving compaction keeps rasterizer tie winners); each ladder
+        # capacity compiles once and is reused.
+        if (
+            self.auto_bucket
+            and cloud.valid_count >= 0
+            and pc.ladder_capacity(cloud.valid_count) < cloud.capacity * 0.75
+        ):
+            cloud = pc.compact_to_bucket(cloud)
 
         intensity = cloud.channels.get("intensity") if self.has_intensity else None
         color_packed = None

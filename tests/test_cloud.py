@@ -377,3 +377,15 @@ def test_deskew_lookup_rotates_normals():
     # Unit length preserved (pure rotation).
     ln = np.linalg.norm(np.asarray(out.channels["normal"]), axis=1)
     np.testing.assert_allclose(ln, 1.0, atol=1e-3)
+
+
+def test_ladder_capacity():
+    from fastdem_tpu.cloud.pointcloud import ladder_capacity
+
+    assert ladder_capacity(0) == 4096
+    assert ladder_capacity(1) == 4096
+    assert ladder_capacity(4096) == 4096
+    assert ladder_capacity(4097) == 8192
+    assert ladder_capacity(120000) == 131072
+    assert ladder_capacity(300000) == 524288
+    assert ladder_capacity(100, base=64) == 128

@@ -299,3 +299,67 @@ class TestEdgeCases:
         # Kalman blend of nothing-but-scan-3 => exactly 3.0 (old state was
         # invalidated twice).
         assert v == pytest.approx(3.0, abs=1e-4)
+
+
+class TestAutoBucket:
+    """Auto capacity bucketing in FastDEM.integrate (VERDICT r2 #4):
+    heavily masked frames (RGB-D invalid depth) are compacted host-side to
+    the geometric capacity ladder; the map state must be bit-identical to
+    the uncompacted path."""
+
+    def _noisy_cloud(self, rng, n=20000, invalid_frac=0.65):
+        pts = rng.uniform(-3.0, 3.0, (n, 3)).astype(np.float32)
+        pts[:, 2] = 0.3 * np.sin(pts[:, 0]) + 0.02 * rng.normal(size=n)
+        bad = rng.random(n) < invalid_frac
+        pts[bad] = np.nan  # invalid depth returns
+        return pc.from_numpy(pts, frame_id="camera")
+
+    def test_bucketed_bitexact_vs_full_capacity(self):
+        rng = np.random.default_rng(7)
+        clouds = [self._noisy_cloud(rng) for _ in range(3)]
+        m_b = make_mapper(**{"sensor_model.type": SensorType.RGBD})
+        m_f = make_mapper(**{"sensor_model.type": SensorType.RGBD})
+        m_f.auto_bucket = False
+        for c in clouds:
+            assert c.valid_count < 0.45 * c.capacity
+            assert m_b.integrate(c, I4, I4)
+            assert m_f.integrate(c, I4, I4)
+        for name in m_f.state.layers:
+            a = np.asarray(m_b.state.layers[name])
+            b = np.asarray(m_f.state.layers[name])
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+    def test_bucket_triggers_and_ladder_shape(self):
+        rng = np.random.default_rng(3)
+        c = self._noisy_cloud(rng, n=20000, invalid_frac=0.65)
+        m = make_mapper(**{"sensor_model.type": SensorType.RGBD})
+        seen = []
+        m.on_preprocessed = lambda aux: seen.append(aux.world_xyz.shape[0])
+        assert m.integrate(c, I4, I4)
+        # ~7000 valid points -> 8192-capacity ladder program, not 20000.
+        assert seen and seen[0] == pc.ladder_capacity(c.valid_count)
+        assert seen[0] < c.capacity
+
+    def test_full_scans_not_compacted(self):
+        c = flat_ground_cloud()
+        m = make_mapper()
+        seen = []
+        m.on_preprocessed = lambda aux: seen.append(aux.world_xyz.shape[0])
+        assert m.integrate(c, I4, I4)
+        assert seen and seen[0] == c.capacity
+
+    def test_channels_survive_compaction(self):
+        rng = np.random.default_rng(5)
+        n = 8192
+        pts = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        inten = np.linspace(0, 1, n).astype(np.float32)
+        bad = rng.random(n) < 0.8
+        pts[bad] = np.nan
+        c = pc.from_numpy(pts, frame_id="lidar", intensity=inten)
+        cb = pc.compact_to_bucket(c)
+        keep = ~bad
+        np.testing.assert_array_equal(
+            np.asarray(cb.channels["intensity"])[: keep.sum()], inten[keep]
+        )
+        assert cb.capacity == pc.ladder_capacity(int(keep.sum()))
+        assert cb.nominal_count == c.nominal_count
