@@ -465,6 +465,55 @@ class TestOrbaxCheckpoint:
         geom2, state2, _ = load_orbax(path)
         assert set(state2.layers) == set(state.layers)
 
+    @pytest.mark.parametrize("new_shape", [(2, 4), (1, 8)])
+    def test_restore_onto_different_mesh_shape(self, tmp_path, new_shape):
+        """Re-sharding restore (VERDICT r2 #8): a checkpoint written on a
+        4x2 mesh restores straight onto a DIFFERENT mesh shape — the
+        stated point of the orbax path (a pod that grew/shrank between
+        runs). Values must match and the arrays must actually carry the
+        new mesh's block sharding."""
+        from fastdem_tpu.config.config import Config, MappingMode
+        from fastdem_tpu.io.orbax_ckpt import load_orbax, save_orbax
+        from fastdem_tpu.mapping.pipeline import create_map_state
+        from fastdem_tpu.parallel import sharding as sh
+
+        geom = GridGeometry.from_length(16.0, 16.0, 0.5)
+        cfg = Config()
+        cfg.mapping.mode = MappingMode.GLOBAL
+        mesh_a = sh.make_mesh(8)  # 4x2
+        assert tuple(mesh_a.devices.shape) == (4, 2)
+        rng = np.random.default_rng(11)
+        elev = rng.normal(0, 1, geom.shape).astype(np.float32)
+        state = sh.shard_state(create_map_state(geom, cfg), mesh_a)
+        state = state.replace_layer(layers.elevation, jnp.asarray(elev))
+        path = str(tmp_path / "ckpt_remesh")
+        save_orbax(path, geom, state)
+
+        mesh_b = sh.make_mesh(8, shape=new_shape)
+        geom2, state2, _ = load_orbax(path, sharding=sh.map_sharding(mesh_b))
+        assert geom2 == geom
+        got = state2.layers[layers.elevation]
+        assert got.sharding.mesh.devices.shape == new_shape
+        assert not got.sharding.is_fully_replicated
+        np.testing.assert_array_equal(np.asarray(got), elev)
+        # The restored state must be directly usable by a step built on
+        # the new mesh (no resharding copies at first use).
+        stepB, shardB = sh.build_sharded_integrate(
+            geom2, cfg, mesh_b, donate=False
+        )
+        n = 512
+        xyz = np.column_stack(
+            [rng.uniform(-6, 6, n), rng.uniform(-6, 6, n),
+             rng.normal(-1, 0.05, n)]
+        ).astype(np.float32)
+        out, _ = stepB(
+            shardB(state2), jnp.asarray(xyz), jnp.ones(n, bool),
+            jnp.eye(4), jnp.eye(4),
+        )
+        assert np.isfinite(
+            np.asarray(out.layers[layers.elevation])
+        ).sum() > 0
+
 
 class TestMultiProcess:
     """True multi-process validation: 2 processes x 4 virtual CPU devices
