@@ -34,15 +34,20 @@ _PAGE = """<!DOCTYPE html>
 </style></head><body>
 <div id="hud"></div><canvas id="c"></canvas>
 <script>
-const META = __META__;
-const Z = Uint16Array.from(atob("__ZDATA__"), ch => ch.charCodeAt(0));
-const zq = new Float32Array(META.rows * META.cols);
-for (let i = 0; i < zq.length; i++) {
-  const lo = Z[2 * i], hi = Z[2 * i + 1];
-  const q = lo | (hi << 8);
-  zq[i] = q === 65535 ? NaN :
-    META.zmin + (q / 65534) * (META.zmax - META.zmin);
+let META = {rows: 0, cols: 0, res: 1, zmin: 0, zmax: 1, title: "",
+            z_exaggeration: 1.5};
+let zq = new Float32Array(0);
+function decodeFrame(meta, b64){ // shared by the static and live pages
+  META = meta;
+  const Z = Uint8Array.from(atob(b64), ch => ch.charCodeAt(0));
+  zq = new Float32Array(META.rows * META.cols);
+  for (let i = 0; i < zq.length; i++) {
+    const q = Z[2 * i] | (Z[2 * i + 1] << 8);
+    zq[i] = q === 65535 ? NaN :
+      META.zmin + (q / 65534) * (META.zmax - META.zmin);
+  }
 }
+__DATA_JS__
 const cv = document.getElementById("c"), hud = document.getElementById("hud");
 const ctx = cv.getContext("2d");
 let yaw = 0.8, pitch = 0.9, zoom = 1.0, drag = null;
@@ -118,16 +123,20 @@ resize();
 """
 
 
-def save_html(
-    path: str,
+def encode_frame(
     geom: GridGeometry,
     state: GridMapState,
     layer: str = L.elevation,
     title: str = "elevation",
     max_cells: int = 160_000,
     z_exaggeration: float = 1.5,
-) -> bool:
-    """Write a self-contained interactive 3D viewer for one map layer."""
+):
+    """Quantize one map layer into the viewer's wire frame.
+
+    Returns ``(meta, payload)``: the JSON-able frame metadata and the
+    little-endian u16 height grid (65535 = NaN). Shared by the static
+    artifact (``save_html``) and the live stream
+    (io.live_viewer.LiveViewer)."""
     arr = np.asarray(state.layers[layer], dtype=np.float32)
     rows, cols = arr.shape
     stride = 1
@@ -156,10 +165,27 @@ def save_html(
         "title": title,
         "z_exaggeration": z_exaggeration,
     }
-    page = _PAGE.replace("__META__", json.dumps(meta)).replace(
-        "__ZDATA__",
-        base64.b64encode(q.astype("<u2").tobytes()).decode("ascii"),
+    return meta, q.astype("<u2").tobytes()
+
+
+def save_html(
+    path: str,
+    geom: GridGeometry,
+    state: GridMapState,
+    layer: str = L.elevation,
+    title: str = "elevation",
+    max_cells: int = 160_000,
+    z_exaggeration: float = 1.5,
+) -> bool:
+    """Write a self-contained interactive 3D viewer for one map layer."""
+    meta, payload = encode_frame(
+        geom, state, layer, title, max_cells, z_exaggeration
     )
+    data_js = 'decodeFrame({meta}, "{b64}");'.format(
+        meta=json.dumps(meta),
+        b64=base64.b64encode(payload).decode("ascii"),
+    )
+    page = _PAGE.replace("__DATA_JS__", data_js)
     try:
         with open(path, "w") as f:
             f.write(page)

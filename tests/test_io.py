@@ -301,7 +301,7 @@ class TestHtmlViewer:
         import base64 as b64
         import re
 
-        blob = re.search(r'atob\("([A-Za-z0-9+/=]+)"\)', html).group(1)
+        blob = re.search(r'decodeFrame\(\{.*?\}, "([A-Za-z0-9+/=]+)"\)', html).group(1)
         raw = b64.b64decode(blob)
         assert len(raw) == 2 * 8 * 8
         # Decode exactly like the embedded JS (u16 LE, 65535 = NaN,
@@ -309,7 +309,7 @@ class TestHtmlViewer:
         import json as _json
 
         meta = _json.loads(
-            re.search(r"const META = (\{.*?\});", html).group(1)
+            re.search(r"decodeFrame\((\{.*?\}), ", html).group(1)
         )
         q = np.frombuffer(raw, dtype="<u2").astype(np.float64)
         dec = np.where(
@@ -336,7 +336,7 @@ class TestHtmlViewer:
         import re
 
         meta = _json.loads(
-            re.search(r"const META = (\{.*?\});", out.read_text()).group(1)
+            re.search(r"decodeFrame\((\{.*?\}), ", out.read_text()).group(1)
         )
         assert meta["rows"] * meta["cols"] <= 40_000
 
@@ -363,3 +363,94 @@ def test_viewpoint_numpy_array_roundtrip(tmp_path):
     )
     _, meta2 = load_pcd(p2, return_meta=True)
     np.testing.assert_allclose(meta2["viewpoint"], vp)
+
+
+class TestLiveViewer:
+    """Live HTTP streaming viewer (io/live_viewer.py) — the Rerun-bridge
+    live-inspection capability with stdlib-only parts."""
+
+    def _mapper(self):
+        import fastdem_tpu as fd
+        from fastdem_tpu.cloud.pointcloud import from_numpy
+
+        geom = fd.GridGeometry.from_length(4.0, 4.0, 0.5)
+        m = fd.FastDEM(geom, fd.Config())
+        rng = np.random.default_rng(0)
+        xyz = np.column_stack(
+            [rng.uniform(-1.8, 1.8, (300, 2)),
+             rng.normal(-0.5, 0.1, (300, 1))]
+        ).astype(np.float32)
+        assert m.integrate(from_numpy(xyz), np.eye(4), np.eye(4))
+        return geom, m
+
+    def test_serves_page_and_frames(self):
+        import base64 as b64
+        import json as _json
+        import urllib.request
+
+        from fastdem_tpu.io.live_viewer import LiveViewer
+
+        geom, m = self._mapper()
+        lv = LiveViewer(port=0).start()  # free port
+        try:
+            seq = lv.publish(geom, m.state)
+            page = urllib.request.urlopen(lv.url, timeout=10).read().decode()
+            assert "decodeFrame" in page and "/frame?seq=" in page
+
+            f = _json.loads(
+                urllib.request.urlopen(
+                    lv.url + "frame", timeout=10
+                ).read()
+            )
+            assert f["seq"] == seq
+            meta = f["meta"]
+            q = np.frombuffer(
+                b64.b64decode(f["z"]), dtype="<u2"
+            ).astype(np.float64)
+            dec = np.where(
+                q == 65535, np.nan,
+                meta["zmin"] + q / 65534.0 * (meta["zmax"] - meta["zmin"]),
+            ).reshape(meta["rows"], meta["cols"])
+            elev = np.asarray(m.state.layers["elevation"])
+            np.testing.assert_array_equal(np.isnan(dec), np.isnan(elev))
+            fin = np.isfinite(elev)
+            span = meta["zmax"] - meta["zmin"]
+            assert np.abs(dec[fin] - elev[fin]).max() <= span / 65534 + 1e-9
+
+            # Sequence gating: a client that already has seq gets no body.
+            f2 = _json.loads(
+                urllib.request.urlopen(
+                    lv.url + f"frame?seq={seq}", timeout=10
+                ).read()
+            )
+            assert f2 == {"seq": seq}
+
+            # A new publish bumps the sequence.
+            seq2 = lv.publish(geom, m.state)
+            assert seq2 == seq + 1
+            f3 = _json.loads(
+                urllib.request.urlopen(
+                    lv.url + f"frame?seq={seq}", timeout=10
+                ).read()
+            )
+            assert f3["seq"] == seq2 and "meta" in f3
+        finally:
+            lv.stop()
+
+    def test_driver_sink_adapter(self):
+        from fastdem_tpu.io.live_viewer import LiveViewer
+
+        geom, m = self._mapper()
+        lv = LiveViewer(port=0).start()
+        try:
+            cb = lv.sink(geom)
+            cb({
+                "layers": {
+                    k: np.asarray(v) for k, v in m.state.layers.items()
+                },
+                "position": np.zeros(2),
+                "scan_count": 1,
+            })
+            assert lv._seq == 1
+        finally:
+            lv.stop()

@@ -86,6 +86,10 @@ def main():
     ap.add_argument("--async-intake", action="store_true",
                     help="enqueue scans and integrate backlogs as batched "
                          "device programs (oldest scans drop under overload)")
+    ap.add_argument("--live-port", type=int, default=None,
+                    help="serve the live 3D viewer on this port while "
+                         "mapping (io/live_viewer.py; 0 = pick a free "
+                         "port); browse the printed URL")
     ap.add_argument("--burst", type=int, default=8,
                     help="max scans per batched program with --async-intake")
     args = ap.parse_args()
@@ -127,6 +131,14 @@ def main():
         calibration=calib, odometry=odom, artifact_dir=args.out,
         async_intake=args.async_intake, burst_batch=args.burst,
     )
+
+    live = None
+    if args.live_port is not None:
+        from fastdem_tpu.io.live_viewer import LiveViewer
+
+        live = LiveViewer(port=args.live_port).start()
+        driver.sinks["map"] = live.sink(driver.geom)
+        print(f"live viewer: {live.url}", file=sys.stderr)
 
     if args.synthetic:
         source = synthetic_scans(args.synthetic)
@@ -187,6 +199,9 @@ def main():
     cloud_arr = bridge.to_structured_cloud(driver.geom, state)
     np.save(os.path.join(args.out, "map_cloud.npy"), cloud_arr)
     print(f"artifacts -> {args.out}: map_final.npz elevation.png map_cloud.npy")
+    if live is not None:
+        live.publish(driver.geom, state, title="elevation (final)")
+        live.stop()
     return 0
 
 
