@@ -260,8 +260,10 @@ def compact_to_bucket(cloud: PointCloud, base: int = 4096) -> PointCloud:
     an RGB-D frame whose depth image is 60% invalid scatters 300K rows at
     full price unless truly compacted — masking alone saves nothing. Order
     is preserved, so rasterizer tie-breaking (smallest point index among
-    packed-quantum z ties) picks the same winning points and the map state
-    is bit-identical to the uncompacted integrate.
+    packed-quantum z ties) picks the same winning points; decision layers
+    (min/max/obstacle/n_points) match the uncompacted integrate exactly,
+    estimator layers to ~1 ulp of z-variance (XLA may contract the
+    per-point covariance FMAs differently at a different capacity).
 
     Device-backed clouds pay one D2H here; build clouds with from_numpy
     right before integrate (the streaming shape) to keep this a pure

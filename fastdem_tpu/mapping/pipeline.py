@@ -1406,9 +1406,10 @@ class FastDEM:
         # CAPACITY whether rows are masked or not, so a frame whose valid
         # count sits a ladder bucket (or more) below its capacity — the
         # RGB-D invalid-depth case — is truly compacted host-side and run
-        # through the next ladder program. Bit-identical map state (order-
-        # preserving compaction keeps rasterizer tie winners); each ladder
-        # capacity compiles once and is reused.
+        # through the next ladder program. Order-preserving compaction
+        # keeps rasterizer tie winners (see compact_to_bucket on the
+        # exactness envelope); each ladder capacity compiles once and is
+        # reused.
         if (
             self.auto_bucket
             and cloud.valid_count >= 0
@@ -1556,7 +1557,29 @@ class FastDEM:
         if not items:
             return 0
 
-        from fastdem_tpu.cloud.pointcloud import bucket_capacity, pad_to
+        from fastdem_tpu.cloud.pointcloud import (
+            bucket_capacity,
+            compact_to_bucket,
+            ladder_capacity,
+            pad_to,
+        )
+
+        # Auto bucket selection, batch flavor (VERDICT r2 #4): when every
+        # accepted cloud's valid count is known and the whole batch fits a
+        # ladder capacity well below the raw one (heavily masked RGB-D
+        # logs), compact each cloud — scatter cost is linear in capacity,
+        # so the whole replay runs at the valid-count price.
+        if self.auto_bucket:
+            vcs = [c.valid_count for c, _, _ in items]
+            raw_cap = max(c.capacity for c, _, _ in items)
+            if (
+                all(v >= 0 for v in vcs)
+                and ladder_capacity(max(vcs)) < raw_cap * 0.75
+            ):
+                items = [
+                    (compact_to_bucket(c), tbs, twb)
+                    for c, tbs, twb in items
+                ]
 
         cap = bucket_capacity(max(c.capacity for c, _, _ in items))
         use_int = self.has_intensity and all(
