@@ -489,3 +489,27 @@ class TestWireSinks:
         assert msg.width > 0
         assert [f.name for f in msg.fields][:3] == ["x", "y", "z"]
         assert len(msg.data) == msg.width * msg.point_step
+
+
+def test_node_live_viewer_and_launcher(tmp_path):
+    """run_launch.py (the run.launch.py behavioral equivalent) picks the
+    preset, forwards passthrough args, and --viz serves the live viewer
+    while the node maps."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [
+            sys.executable, "tools/run_launch.py", "--viz",
+            "--synthetic", "3", "--out", out, "--platform", "cpu",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+        env=dict(os.environ),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "local_mapping.yaml" in r.stderr  # preset selection
+    assert "live viewer: http://127.0.0.1:" in r.stderr
+    assert "integrated 3 scans" in r.stdout
+    assert os.path.exists(f"{out}/map_final.npz")
