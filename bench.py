@@ -354,6 +354,11 @@ def main():
         )
         log("same, K-fused offline replay", msf, cf)
         emit_cfg("kfused_offline_replay_15m", msf)
+        collected[-1]["note"] = (
+            "documented-slower A/B harness (vmapped phase A; BENCH_NOTES "
+            "'negative result'), measured in-process after the headline "
+            "(ordering effect applies) with the raw-quotient estimator"
+        )
 
     if args.all:
         # Each config runs in its OWN process: configs measured after the
