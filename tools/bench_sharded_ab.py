@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--map", type=float, default=200.0)
     ap.add_argument("--range", type=float, default=20.0, dest="rng_max")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--gspmd", action="store_true",
+                    help="also measure the GSPMD full-map fallback "
+                         "(window_update=False, xla polar) — the path the "
+                         "sharded builders used before round 3")
     args = ap.parse_args()
 
     import jax
@@ -123,13 +127,26 @@ def main():
     print(f"sharded (mesh {dict(mesh.shape)}): {ms_s:7.3f} ms/scan "
           f"(incl. compile {time.time() - t0:.0f}s)", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "config": "global_200m_raycast_sharded_ab",
         "mesh": list(mesh.devices.shape),
         "ms_unsharded": round(ms_u, 4),
         "ms_sharded": round(ms_s, 4),
         "sharded_over_unsharded": round(ms_s / ms_u, 3),
-    }))
+    }
+
+    if args.gspmd:
+        t0 = time.time()
+        seq_g, shard_g = sh.build_sharded_integrate_sequence(
+            geom, cfg, mesh, donate=False, window_update=False,
+        )
+        ms_g = measure(seq_g, shard_g(state), inputs1, inputs2, T_bs, K)
+        print(f"sharded GSPMD full-map fallback: {ms_g:7.3f} ms/scan "
+              f"(incl. compile {time.time() - t0:.0f}s)", file=sys.stderr)
+        out["ms_sharded_gspmd_fallback"] = round(ms_g, 4)
+        out["shardmap_speedup_vs_fallback"] = round(ms_g / ms_s, 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
