@@ -206,12 +206,23 @@ def main():
     import jax
 
     # Persistent compilation cache: the driver re-runs this benchmark every
-    # round; warm compiles cut minutes of XLA time.
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/fastdem_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # round; warm compiles cut minutes of XLA time. The sentinel file opts
+    # out (r4: first-compile times over the tunnel ran 20-30x slower with
+    # the cache on in one session — suspected executable-serialization
+    # cost; the sentinel lets A/B'ing the hypothesis without env changes,
+    # since --all subprocesses re-read this file).
+    import os as _os
+
+    if not _os.path.exists("/tmp/fastdem_no_cache"):
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir", "/tmp/fastdem_xla_cache"
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0
+            )
+        except Exception:
+            pass
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     baseline_ms = 10.0  # reference ~10 ms/scan (BASELINE.md)
