@@ -173,6 +173,136 @@ def bench_pipeline(K, N, cfg_mut=None, spread=7.2, geom_m=15.0, res=0.1,
     return chain_time(step, state, scans, masks, tx)
 
 
+def bench_postprocess(log, Kpp=64):
+    """Post-processing chain on a snapshot (UF + inpaint + FE), chained
+    with the two-length difference estimator (dispatch through the tunnel
+    otherwise dominates this sub-millisecond chain)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastdem_tpu import GridGeometry, PostProcessConfig
+    from fastdem_tpu.postprocess import apply_postprocess_fn
+
+    geom = GridGeometry.from_length(15.0, 15.0, 0.1)
+    pp = PostProcessConfig()
+    pp.inpainting.enabled = True
+    pp.uncertainty_fusion.enabled = True
+    pp.feature_extraction.enabled = True
+    fn = apply_postprocess_fn(geom, pp)
+    rng = np.random.default_rng(0)
+    elev = jnp.asarray(rng.normal(0, 0.1, geom.shape).astype(np.float32))
+
+    def make_pp(length):
+        @jax.jit
+        def run_pp(e):
+            def body(c, _):
+                out = fn(c, c + 0.1, c - 0.1)
+                return out["elevation"] + out["slope"] * 1e-9, ()
+
+            o, _ = jax.lax.scan(body, e, None, length=length)
+            return o
+
+        return run_pp
+
+    pp1, pp2 = make_pp(Kpp), make_pp(2 * Kpp)
+    jax.block_until_ready(pp1(elev))
+    jax.block_until_ready(pp2(elev))
+    t1s, t2s = [], []
+    for _ in range(6):
+        t0 = time.time()
+        jax.block_until_ready(pp1(elev))
+        t1s.append(time.time() - t0)
+        t0 = time.time()
+        jax.block_until_ready(pp2(elev))
+        t2s.append(time.time() - t0)
+    med1 = sorted(t1s)[len(t1s) // 2]
+    med2 = sorted(t2s)[len(t2s) // 2]
+    ms_pp = max((med2 - med1) / Kpp * 1e3, 1e-4)
+    log("postprocess chain (UF+inp+FE)", ms_pp, 0)
+    print("BENCHCFG " + json.dumps({
+        "config": "postprocess_uf_inpaint_fe_15m",
+        "ms": round(ms_pp, 4),
+        "K": Kpp,
+    }), flush=True)
+
+    if jax.device_count() > 1:
+        from fastdem_tpu.config.config import Config, MappingMode
+        from fastdem_tpu.parallel.distributed import scaling_report
+
+        geom_g = GridGeometry.from_length(50.0, 50.0, 0.1)
+        cfg_g = Config()
+        cfg_g.mapping.mode = MappingMode.GLOBAL
+        rep = scaling_report(geom_g, cfg_g, scans=8)
+        print(f"sharded global map: {rep}", file=sys.stderr)
+
+
+def run_all(args):
+    """--all orchestrator: one subprocess per config, strictly sequential,
+    parent device-free (see the note at the --all branch in main)."""
+    import subprocess
+
+    collected = []
+    device = None
+    for name in ("headline", "fused", "p2", "rgbd", "rgbd_masked",
+                 "global", "postprocess"):
+        cmd = [sys.executable, __file__, "--config", name,
+               "--scans", str(args.scans), "--points", str(args.points)]
+        if args.no_raycast and name == "headline":
+            cmd.append("--no-raycast")
+        try:
+            r = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=4200
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[--all] config {name} timed out; skipping",
+                  file=sys.stderr)
+            continue
+        for line in r.stderr.splitlines():
+            if device is None and line.startswith("device:"):
+                device = line.split(":", 1)[1].strip()
+            if "ms/scan" in line or "chain:" in line or "win:" in line:
+                print(line, file=sys.stderr)
+        for line in r.stdout.splitlines():
+            if line.startswith("BENCHCFG "):
+                collected.append(json.loads(line[len("BENCHCFG "):]))
+        if r.returncode != 0:
+            print(f"[--all] config {name} failed:\n{r.stderr[-800:]}",
+                  file=sys.stderr)
+
+    if args.out:
+        artifact = {
+            "device": device,
+            "baseline_ms": 10.0,
+            "estimator": "two-length difference, median-of-pairs "
+                         "(see chain_time)",
+            "isolation": "each config in its own process, strictly "
+                         "sequential — numbers from a device shared with "
+                         "a resident process read 20-80% higher "
+                         "(BENCH_NOTES.md round 4)",
+            "configs": collected,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
+            f.write("\n")
+        print(f"wrote {args.out}", file=sys.stderr)
+
+    head = next(
+        (c for c in collected
+         if c["config"] == "local_kalman_lidar_raycast_15m"),
+        None,
+    )
+    if head is None:
+        print("[--all] headline config missing from results", file=sys.stderr)
+        return 1
+    print(json.dumps({
+        "metric": "ms_per_scan_vlp16_15m_kalman_raycast",
+        "value": head["ms"],
+        "unit": "ms/scan",
+        "vs_baseline": round(10.0 / head["ms"], 2),
+    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     # K=64 dilutes the host->device dispatch round trip (~10 ms/call via
@@ -186,9 +316,10 @@ def main():
                          "its own subprocess — see BENCH_NOTES.md on the "
                          "in-process ordering effect)")
     ap.add_argument("--config", default=None,
-                    choices=["p2", "rgbd", "rgbd_masked", "global"],
-                    help="run ONE non-headline config and exit (used by "
-                         "--all's per-config subprocesses)")
+                    choices=["headline", "fused", "p2", "rgbd",
+                             "rgbd_masked", "global", "postprocess"],
+                    help="run ONE config and exit (used by --all's "
+                         "per-config subprocesses)")
     ap.add_argument("--scatter-mode", default="rows",
                     choices=["rows", "packed", "twophase", "sort"],
                     help="rasterizer formulation (A/B within one session)")
@@ -202,6 +333,15 @@ def main():
                          "JSON file (the committed BENCH_ALL_r*.json "
                          "artifact; VERDICT r2 #3)")
     args = ap.parse_args()
+
+    if args.all:
+        # Orchestrate every config as its OWN subprocess with the parent
+        # never initializing the device. Sharing the device with a
+        # RESIDENT process (even an idle one holding buffers/executables)
+        # measured p2 1.10 vs 0.78 and RGB-D 4.72 vs 2.65 ms/scan in one
+        # r4 session — the real mechanism behind the old "in-process
+        # ordering effect" (BENCH_NOTES.md round 4).
+        return run_all(args)
 
     import jax
 
@@ -249,6 +389,21 @@ def main():
     def mut_headline(cfg):
         cfg.raycasting.enabled = not args.no_raycast
 
+    if args.config == "fused":
+        msf, cf = bench_pipeline(
+            args.scans, args.points, lambda cfg: None,
+            scatter_mode=args.scatter_mode, fused=True,
+        )
+        log("K-fused offline replay", msf, cf)
+        emit_cfg("kfused_offline_replay_15m", msf)
+        collected[-1]["note"] = (
+            "documented-slower A/B harness (vmapped phase A; BENCH_NOTES "
+            "'negative result'), raw-quotient estimator"
+        )
+        return
+    if args.config == "postprocess":
+        bench_postprocess(log)
+        return
     if args.config == "p2":
         from fastdem_tpu.config.config import EstimationType
 
@@ -358,114 +513,13 @@ def main():
     log("local kalman lidar + raycast", ms, comp)
     emit_cfg("local_kalman_lidar_raycast_15m", ms)
 
-    if args.fused or args.all:
+    if args.fused:
         msf, cf = bench_pipeline(
             args.scans, args.points, mut_headline,
             scatter_mode=args.scatter_mode, fused=True,
         )
         log("same, K-fused offline replay", msf, cf)
         emit_cfg("kfused_offline_replay_15m", msf)
-        collected[-1]["note"] = (
-            "documented-slower A/B harness (vmapped phase A; BENCH_NOTES "
-            "'negative result'), measured in-process after the headline "
-            "(ordering effect applies) with the raw-quotient estimator"
-        )
-
-    if args.all:
-        # Each config runs in its OWN process: configs measured after the
-        # headline in one process read 20-80% higher (HBM-state/ordering
-        # effect, BENCH_NOTES.md); subprocesses share the persistent
-        # compile cache, so the isolation costs only startup time.
-        import subprocess
-
-        for name in ("p2", "rgbd", "rgbd_masked", "global"):
-            r = subprocess.run(
-                [sys.executable, __file__, "--config", name,
-                 "--scans", str(args.scans), "--points", str(args.points)],
-                capture_output=True, text=True, timeout=4200,
-            )
-            for line in r.stderr.splitlines():
-                if "ms/scan" in line or "chain:" in line:
-                    print(line, file=sys.stderr)
-            for line in r.stdout.splitlines():
-                if line.startswith("BENCHCFG "):
-                    collected.append(json.loads(line[len("BENCHCFG "):]))
-            if r.returncode != 0:
-                print(f"[--all] config {name} failed:\n{r.stderr[-800:]}",
-                      file=sys.stderr)
-
-        # Post-processing chain on a snapshot (UF + inpaint + FE).
-        import jax.numpy as jnp
-
-        from fastdem_tpu import GridGeometry, PostProcessConfig
-        from fastdem_tpu.postprocess import apply_postprocess_fn
-
-        geom = GridGeometry.from_length(15.0, 15.0, 0.1)
-        pp = PostProcessConfig()
-        pp.inpainting.enabled = True
-        pp.uncertainty_fusion.enabled = True
-        pp.feature_extraction.enabled = True
-        fn = apply_postprocess_fn(geom, pp)
-        rng = np.random.default_rng(0)
-        elev = jnp.asarray(rng.normal(0, 0.1, geom.shape).astype(np.float32))
-
-        # Chained + two-length difference estimator (dispatch through the
-        # tunnel otherwise dominates this sub-millisecond chain).
-        Kpp = 64
-
-        def make_pp(length):
-            @jax.jit
-            def run_pp(e):
-                def body(c, _):
-                    out = fn(c, c + 0.1, c - 0.1)
-                    return out["elevation"] + out["slope"] * 1e-9, ()
-
-                o, _ = jax.lax.scan(body, e, None, length=length)
-                return o
-
-            return run_pp
-
-        pp1, pp2 = make_pp(Kpp), make_pp(2 * Kpp)
-        jax.block_until_ready(pp1(elev))
-        jax.block_until_ready(pp2(elev))
-        t1 = t2 = 0.0
-        for _ in range(3):
-            t0 = time.time()
-            jax.block_until_ready(pp1(elev))
-            t1 += time.time() - t0
-            t0 = time.time()
-            jax.block_until_ready(pp2(elev))
-            t2 += time.time() - t0
-        ms_pp = max((t2 - t1) / (3 * Kpp) * 1e3, 1e-4)
-        log("postprocess chain (UF+inp+FE)", ms_pp, 0)
-        collected.append({
-            "config": "postprocess_uf_inpaint_fe_15m",
-            "ms": round(ms_pp, 4),
-            "K": Kpp,
-        })
-
-        if jax.device_count() > 1:
-            from fastdem_tpu.config.config import Config, MappingMode
-            from fastdem_tpu.parallel.distributed import scaling_report
-
-            geom_g = GridGeometry.from_length(50.0, 50.0, 0.1)
-            cfg_g = Config()
-            cfg_g.mapping.mode = MappingMode.GLOBAL
-            rep = scaling_report(geom_g, cfg_g, scans=8)
-            print(f"sharded global map: {rep}", file=sys.stderr)
-
-    if args.all and args.out:
-        artifact = {
-            "device": str(jax.devices()[0]),
-            "baseline_ms": baseline_ms,
-            "estimator": "two-length difference, median-of-pairs "
-                         "(see chain_time)",
-            "configs": collected,
-        }
-        with open(args.out, "w") as f:
-            json.dump(artifact, f, indent=2)
-            f.write("\n")
-        print(f"wrote {args.out}", file=sys.stderr)
 
     print(
         json.dumps(
