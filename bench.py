@@ -84,33 +84,33 @@ def chain_time(step, state, scans, masks, tx, pairs=10):
     except Exception as e:  # noqa: BLE001
         print(f"2K chain failed ({e}); raw quotient only", file=sys.stderr)
         diff = False
-    t1s, t2s = [], []
-    for _ in range(pairs if diff else 3):
-        t0 = time.time()
-        out = run(state, scans, masks, tx)
-        jax.block_until_ready(out.layers)
-        t1s.append(time.time() - t0)
-        if diff:
-            t0 = time.time()
-            out2 = run(state, scans2, masks2, tx2)
-            jax.block_until_ready(out2.layers)
-            t2s.append(time.time() - t0)
-    raw = float(np.median(t1s)) / K * 1e3
+    from fastdem_tpu.utils.benchtime import median, two_length_diff_ms
+
+    def run_k():
+        jax.block_until_ready(run(state, scans, masks, tx).layers)
+
     if not diff:
-        return raw, compile_s
-    # Clamp: timing noise can make the difference non-positive for
-    # sub-millisecond chains (the postprocess bench clamps the same way).
-    ms = max((float(np.median(t2s)) - float(np.median(t1s))) / K * 1e3, 1e-4)
-    per_pair = [(b - a) / K * 1e3 for a, b in zip(t1s, t2s)]
+        t1s = []
+        for _ in range(3):
+            t0 = time.time()
+            run_k()
+            t1s.append(time.time() - t0)
+        return median(t1s) / K * 1e3, compile_s
+
+    def run_2k():
+        jax.block_until_ready(run(state, scans2, masks2, tx2).layers)
+
+    ms, per_pair, med_k = two_length_diff_ms(run_k, run_2k, K, pairs=pairs)
+    raw = med_k / K * 1e3
     print(
-        f"    [chain: device {ms:.3f} ms/scan (median-of-{len(t1s)} pairs; "
+        f"    [chain: device {ms:.3f} ms/scan (median-of-{pairs} pairs; "
         f"per-pair {min(per_pair):.3f}..{max(per_pair):.3f}); raw K={K} "
         f"quotient {raw:.3f} incl. ~{max(raw - ms, 0.0):.3f} dispatch/scan]",
         file=sys.stderr,
     )
     chain_time.last = {
         "ms": round(ms, 4),
-        "pairs": len(t1s),
+        "pairs": pairs,
         "per_pair_min": round(min(per_pair), 4),
         "per_pair_max": round(max(per_pair), 4),
         "raw_quotient": round(raw, 4),
@@ -204,25 +204,26 @@ def bench_postprocess(log, Kpp=64):
 
         return run_pp
 
+    from fastdem_tpu.utils.benchtime import two_length_diff_ms
+
     pp1, pp2 = make_pp(Kpp), make_pp(2 * Kpp)
     jax.block_until_ready(pp1(elev))
     jax.block_until_ready(pp2(elev))
-    t1s, t2s = [], []
-    for _ in range(6):
-        t0 = time.time()
-        jax.block_until_ready(pp1(elev))
-        t1s.append(time.time() - t0)
-        t0 = time.time()
-        jax.block_until_ready(pp2(elev))
-        t2s.append(time.time() - t0)
-    med1 = sorted(t1s)[len(t1s) // 2]
-    med2 = sorted(t2s)[len(t2s) // 2]
-    ms_pp = max((med2 - med1) / Kpp * 1e3, 1e-4)
+    ms_pp, _, _ = two_length_diff_ms(
+        lambda: jax.block_until_ready(pp1(elev)),
+        lambda: jax.block_until_ready(pp2(elev)),
+        Kpp, pairs=6,
+    )
     log("postprocess chain (UF+inp+FE)", ms_pp, 0)
     print("BENCHCFG " + json.dumps({
         "config": "postprocess_uf_inpaint_fe_15m",
         "ms": round(ms_pp, 4),
         "K": Kpp,
+        # Different metric than the per-scan rows: the async postprocess
+        # timer chain has no ~10 ms/scan reference baseline to divide by.
+        "vs_baseline": None,
+        "note": "ms per UF+inpaint+FE pass on a 150x150 snapshot; "
+                "two-length difference estimator",
     }), flush=True)
 
     if jax.device_count() > 1:
@@ -246,9 +247,12 @@ def run_all(args):
     for name in ("headline", "fused", "p2", "rgbd", "rgbd_masked",
                  "global", "postprocess"):
         cmd = [sys.executable, __file__, "--config", name,
-               "--scans", str(args.scans), "--points", str(args.points)]
-        if args.no_raycast and name == "headline":
+               "--scans", str(args.scans), "--points", str(args.points),
+               "--scatter-mode", args.scatter_mode]
+        if args.no_raycast and name in ("headline", "fused"):
             cmd.append("--no-raycast")
+        if args.trace and name == "headline":
+            cmd += ["--trace", args.trace]
         try:
             r = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=4200
@@ -376,12 +380,14 @@ def main():
 
     collected = []
 
-    def emit_cfg(config, ms):
+    def emit_cfg(config, ms, note=None):
         """One machine-readable stats line per config (collected by --all
         into BENCH_ALL_r*.json; VERDICT r2 #3)."""
         stats = dict(getattr(chain_time, "last", None) or {"ms": round(ms, 4)})
         stats["config"] = config
         stats["vs_baseline"] = round(baseline_ms / ms, 2)
+        if note is not None:
+            stats["note"] = note
         chain_time.last = None
         print("BENCHCFG " + json.dumps(stats), flush=True)
         collected.append(stats)
@@ -391,14 +397,14 @@ def main():
 
     if args.config == "fused":
         msf, cf = bench_pipeline(
-            args.scans, args.points, lambda cfg: None,
+            args.scans, args.points, mut_headline,
             scatter_mode=args.scatter_mode, fused=True,
         )
         log("K-fused offline replay", msf, cf)
-        emit_cfg("kfused_offline_replay_15m", msf)
-        collected[-1]["note"] = (
-            "documented-slower A/B harness (vmapped phase A; BENCH_NOTES "
-            "'negative result'), raw-quotient estimator"
+        emit_cfg(
+            "kfused_offline_replay_15m", msf,
+            note="documented-slower A/B harness (vmapped phase A; "
+                 "BENCH_NOTES 'negative result'), raw-quotient estimator",
         )
         return
     if args.config == "postprocess":
@@ -534,4 +540,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

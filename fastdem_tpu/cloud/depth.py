@@ -30,6 +30,7 @@ def depth_to_cloud(
     stride: int = 1,
     frame_id: str = "camera",
     timestamp_ns: int = 0,
+    count_valid: bool = True,
 ) -> PointCloud:
     """Back-project a depth image into a camera-frame cloud.
 
@@ -43,6 +44,13 @@ def depth_to_cloud(
     Returns a fixed-capacity cloud of H//stride * W//stride points; invalid
     depths (<= 0, outside [min_depth, max_depth], non-finite) are masked.
     Camera convention: +z forward (depth), +x right, +y down.
+
+    count_valid: populate the cloud's valid_count so FastDEM.integrate can
+    auto-bucket heavily masked frames — the typical RGB-D case this module
+    feeds (~60% invalid depth returns). Costs one scalar device sync per
+    frame when the inputs are device arrays; ignored under jit tracing
+    (where no host count exists). Pass False for latency-critical loops
+    that never want the sync.
     """
     d = jnp.asarray(depth, dtype=jnp.float32)[::stride, ::stride] * depth_scale
     H, W = d.shape
@@ -58,12 +66,19 @@ def depth_to_cloud(
     channels = {}
     if rgb is not None:
         channels["color"] = jnp.asarray(rgb)[::stride, ::stride].reshape(-1, 3)
+    valid_count = -1
+    if count_valid:
+        import jax
+
+        if not isinstance(valid, jax.core.Tracer):
+            valid_count = int(jnp.count_nonzero(valid))
     return PointCloud(
         xyz=xyz,
         mask=valid,
         channels=channels,
         frame_id=frame_id,
         timestamp_ns=timestamp_ns,
+        valid_count=valid_count,
     )
 
 

@@ -168,6 +168,13 @@ def stage(cloud: PointCloud) -> PointCloud:
         frame_id=cloud.frame_id,
         timestamp_ns=cloud.timestamp_ns,
         nominal_count=cloud.nominal_count,
+        # Carry the host-known valid count: dropping it here would silently
+        # disable FastDEM.integrate's auto-bucketing for the documented
+        # from_numpy -> stage streaming flow. (Compacting a staged cloud
+        # does pay the D2H compact_to_bucket documents — integrate only
+        # triggers it when the capacity saving crosses the ladder
+        # threshold, where the scatter win dominates the copy.)
+        valid_count=cloud.valid_count,
     )
 
 

@@ -389,3 +389,73 @@ def test_ladder_capacity():
     assert ladder_capacity(120000) == 131072
     assert ladder_capacity(300000) == 524288
     assert ladder_capacity(100, base=64) == 128
+
+
+def test_stage_carries_valid_count():
+    """stage() must propagate valid_count: dropping it silently disables
+    FastDEM.integrate's auto-bucketing in the documented from_numpy ->
+    stage streaming flow (r4 review fix)."""
+    from fastdem_tpu.cloud.pointcloud import from_numpy, stage
+
+    xyz = np.zeros((10, 3), dtype=np.float32)
+    xyz[7:] = np.nan  # 3 invalid points
+    c = from_numpy(xyz, capacity=16)
+    assert c.valid_count == 7
+    staged = stage(c)
+    assert staged.valid_count == 7
+    assert staged.nominal_count == c.nominal_count
+
+
+def test_depth_to_cloud_valid_count():
+    """depth_to_cloud populates valid_count (the auto-bucketing trigger for
+    the canonical RGB-D ingestion path), skips it under jit tracing, and
+    honors count_valid=False."""
+    import jax
+
+    from fastdem_tpu.cloud.depth import depth_to_cloud
+
+    depth = np.array([[1.0, 0.0], [np.nan, 5.0]], dtype=np.float32)
+    cloud = depth_to_cloud(depth, 50, 50, 1, 1, max_depth=3.0)
+    assert cloud.valid_count == 1
+
+    cloud_off = depth_to_cloud(
+        depth, 50, 50, 1, 1, max_depth=3.0, count_valid=False
+    )
+    assert cloud_off.valid_count == -1
+
+    @jax.jit
+    def build(d):
+        c = depth_to_cloud(d, 50, 50, 1, 1, max_depth=3.0)
+        return c.xyz, c.mask
+
+    xyz, mask = build(depth)  # must not raise TracerError
+    assert int(np.count_nonzero(np.asarray(mask))) == 1
+
+
+def test_two_length_diff_estimator():
+    """benchtime.two_length_diff_ms cancels a constant per-call dispatch
+    offset exactly and clamps non-positive differences."""
+    from fastdem_tpu.utils.benchtime import median, two_length_diff_ms
+
+    K = 8
+    # Simulated clock: each call sleeps dispatch + K*s (s = 1 ms).
+    import time as _t
+
+    def fake(n_iters):
+        def run():
+            _t.sleep(0.020 + n_iters * 0.001)
+
+        return run
+
+    ms, per_pair, med_k = two_length_diff_ms(
+        fake(K), fake(2 * K), K, pairs=3
+    )
+    assert 0.8 < ms < 1.6  # true s = 1 ms; dispatch (20 ms) cancelled
+    assert len(per_pair) == 3
+    assert med_k > 0.020
+    # Raw quotient would have been wildly dispatch-inflated:
+    assert med_k / K * 1e3 > 3.0
+    # Degenerate: identical legs clamp to the floor, never negative.
+    ms0, _, _ = two_length_diff_ms(fake(K), fake(K), K, pairs=2)
+    assert ms0 >= 1e-4
+    assert median([1.0, 2.0, 3.0, 4.0]) == 2.5

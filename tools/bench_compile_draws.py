@@ -115,23 +115,18 @@ def measure(run1, run2, state, K, pairs=10):
     the per-call dispatch jitter (~±10 ms) that single differences leak —
     the original source of the 'compile-draw variance' myth — is killed by
     taking the MEDIAN of each leg over ``pairs`` interleaved reps."""
+    from fastdem_tpu.utils.benchtime import two_length_diff_ms
+
     t0 = time.time()
     jax.block_until_ready(leaves(run1(state)))
     jax.block_until_ready(leaves(run2(state)))
     warm_s = time.time() - t0
-    t1s, t2s = [], []
-    for _ in range(pairs):
-        t0 = time.time()
-        jax.block_until_ready(leaves(run1(state)))
-        t1s.append(time.time() - t0)
-        t0 = time.time()
-        jax.block_until_ready(leaves(run2(state)))
-        t2s.append(time.time() - t0)
-    med1 = sorted(t1s)[len(t1s) // 2]
-    med2 = sorted(t2s)[len(t2s) // 2]
-    ms = max((med2 - med1) / K * 1e3, 1e-4)
-    raw = med1 / K * 1e3
-    return ms, raw, warm_s
+    ms, _, med_k = two_length_diff_ms(
+        lambda: jax.block_until_ready(leaves(run1(state))),
+        lambda: jax.block_until_ready(leaves(run2(state))),
+        K, pairs=pairs,
+    )
+    return ms, med_k / K * 1e3, warm_s
 
 
 def main():

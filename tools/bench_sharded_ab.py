@@ -42,23 +42,22 @@ def make_inputs(K, N, rng, spread):
 def measure(seq, state, inputs1, inputs2, T_bs, K, pairs=8):
     import jax
 
-    jax.block_until_ready(seq(state, *inputs1[:2], T_bs, inputs1[2]).layers)
-    jax.block_until_ready(seq(state, *inputs2[:2], T_bs, inputs2[2]).layers)
-    t1s, t2s = [], []
-    for _ in range(pairs):
-        t0 = time.time()
+    from fastdem_tpu.utils.benchtime import two_length_diff_ms
+
+    def run_k():
         jax.block_until_ready(
             seq(state, *inputs1[:2], T_bs, inputs1[2]).layers
         )
-        t1s.append(time.time() - t0)
-        t0 = time.time()
+
+    def run_2k():
         jax.block_until_ready(
             seq(state, *inputs2[:2], T_bs, inputs2[2]).layers
         )
-        t2s.append(time.time() - t0)
-    med1 = sorted(t1s)[len(t1s) // 2]
-    med2 = sorted(t2s)[len(t2s) // 2]
-    return max((med2 - med1) / K * 1e3, 1e-4)
+
+    run_k()  # warm (compile)
+    run_2k()
+    ms, _, _ = two_length_diff_ms(run_k, run_2k, K, pairs=pairs)
+    return ms
 
 
 def main():

@@ -137,15 +137,17 @@ def child(args):
 def run_group(nproc, args, port):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    host = args.coordinator.rsplit(":", 1)[0]
     procs = []
     for pid in range(nproc):
         cmd = [
             sys.executable, os.path.abspath(__file__),
             "--pid", str(pid), "--nproc", str(nproc),
-            "--coordinator", f"localhost:{port}",
+            "--coordinator", f"{host}:{port}",
             "--local-devices", str(args.local_devices),
             "--points", str(args.points), "--scans", str(args.scans),
             "--reps", str(args.reps), "--raycast", str(args.raycast),
+            "--force-cpu", str(args.force_cpu),
         ]
         procs.append(
             subprocess.Popen(
@@ -191,8 +193,11 @@ def main():
         child(args)
         return
 
-    r1 = run_group(1, args, 12455)
-    rn = run_group(args.nproc, args, 12456)
+    # Group coordinator ports derive from --coordinator (base and base+1),
+    # so a busy default port can be steered around from the parent.
+    base_port = int(args.coordinator.rsplit(":", 1)[1])
+    r1 = run_group(1, args, base_port)
+    rn = run_group(args.nproc, args, base_port + 1)
     eff = r1["ms_per_scan"] / rn["ms_per_scan"]
     report = {
         "kind": "weak_scaling",
