@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""nanoPCL-equivalent library-op benchmarks on the TPU backend.
+
+The reference publishes op-level numbers for its point-cloud library
+(BASELINE.md rows; lib/nanoPCL/README.md:24-32 and
+lib/nanoPCL/benchmarks/README.md "Key Results", Intel i7 -O3):
+
+  voxelGrid 500K pts: 12.1 ms    transform 500K pts: 8.5 ms
+  normals 100K pts: ~50 ms       ICP 10K/50K/100K: 3/16/54 ms
+
+This tool measures our equivalents so the library surface (not just the
+mapping pipeline) has committed numbers against the reference's own table.
+
+Methodology: dense/chainable ops run K dependent iterations inside one
+lax.scan and use the shared median-of-pairs two-length estimator
+(fastdem_tpu.utils.benchtime) — inputs are CARRY-dependent so XLA cannot
+hoist or specialize them (BENCH_NOTES: loop-invariant microbenches lie).
+Registration is a host-driven LM/GN loop over jitted steps, so it reports
+honest wall time per align() call (best of reps; through the tunnel this
+includes per-iteration dispatch — co-located hosts see less).
+
+Usage: python tools/bench_cloud_ops.py [--platform cpu] [--quick]
+       [--out BENCH_OPS_r4.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+REF = {  # reference numbers (Intel i7, -O3) for the vs_ref column
+    "transform_500k": 8.5,
+    "voxelgrid_500k": 12.1,
+    "normals_100k": 50.0,
+    "knn_100k": None,  # no published standalone kNN row
+    "icp_10k": 3.0,
+    "vgicp_50k": 16.0,   # reference row is KdTree ICP; see note
+    "vgicp_100k": 54.0,  # reference row is KdTree ICP; see note
+}
+
+
+def make_cloud_np(n, rng, spread=20.0):
+    xyz = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    xyz[:, 2] = (0.1 * np.sin(xyz[:, 0]) + 0.02 * rng.normal(size=n)).astype(
+        np.float32
+    )
+    return xyz
+
+
+def chain(body, init, K, pairs=8):
+    """Two-length difference over a K/2K lax.scan of ``body`` (carry-
+    dependent: body(carry, i) -> carry)."""
+    import jax
+
+    from fastdem_tpu.utils.benchtime import two_length_diff_ms
+
+    def run(length):
+        @jax.jit
+        def f(c):
+            out, _ = jax.lax.scan(
+                lambda c, i: (body(c, i), ()), c,
+                jax.numpy.arange(length),
+            )
+            return out
+
+        return f
+
+    f1, f2 = run(K), run(2 * K)
+    t0 = time.time()
+    jax.block_until_ready(f1(init))
+    jax.block_until_ready(f2(init))
+    compile_s = time.time() - t0
+    ms, per_pair, _ = two_length_diff_ms(
+        lambda: jax.block_until_ready(f1(init)),
+        lambda: jax.block_until_ready(f2(init)),
+        K, pairs=pairs,
+    )
+    return ms, per_pair, compile_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller sizes / fewer pairs (CI smoke)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/fastdem_xla_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001
+        pass
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fastdem_tpu.cloud import filters, normals, registration
+    from fastdem_tpu.cloud.pointcloud import from_numpy
+    from fastdem_tpu.cloud.search import knn_brute
+    from fastdem_tpu.cloud.transform import from_rpy, transform_points
+
+    q = args.quick
+    rng = np.random.default_rng(0)
+    rows = []
+
+    def emit(name, ms, note=None):
+        ref = REF.get(name)
+        row = {"config": name, "ms": round(ms, 4)}
+        if ref:
+            row["ref_ms_i7"] = ref
+            row["vs_ref"] = round(ref / ms, 2)
+        if note:
+            row["note"] = note
+        rows.append(row)
+        vs = f"  ({ref / ms:5.1f}x vs reference {ref} ms)" if ref else ""
+        print(f"{name:>16}: {ms:8.3f} ms{vs}", file=sys.stderr)
+        print("BENCHCFG " + json.dumps(row), flush=True)
+
+    # --- transform 500K: K dependent rigid transforms of a carried cloud.
+    n = 50000 if q else 500000
+    xyz0 = jnp.asarray(make_cloud_np(n, rng))
+    T_step = jnp.asarray(from_rpy(0.001, 0.002, 0.003, t=(0.01, 0.02, 0.0)))
+
+    def t_body(xyz, i):
+        return transform_points(xyz, T_step)
+
+    ms, _, _ = chain(t_body, xyz0, K=32 if q else 256, pairs=4 if q else 8)
+    emit("transform_500k" if not q else "transform_50k", ms)
+
+    # --- voxelGrid 500K (ANY mode, like the pipeline's raycast downsample;
+    # sort-based; the carried offset makes every iteration's keys fresh).
+    cloud500 = from_numpy(make_cloud_np(n, rng))
+
+    def v_body(carry, i):
+        xyz, mask = carry
+        c = dataclasses.replace(cloud500, xyz=xyz, mask=mask)
+        out = filters.voxel_grid(c, 0.2, mode=filters.VoxelMode.ANY)
+        # Data-dependent feedback: shift by a function of the survivor count
+        # so the next iteration's voxel keys cannot be hoisted.
+        cnt = jnp.sum(out.mask.astype(jnp.float32))
+        return (xyz + 1e-4 * jnp.sin(cnt) + 1e-3, mask), ()
+
+    def v_body2(carry, i):
+        c, _ = v_body(carry, i)
+        return c
+
+    ms, _, _ = chain(v_body2, (cloud500.xyz, cloud500.mask),
+                     K=8 if q else 32, pairs=4 if q else 8)
+    emit("voxelgrid_500k" if not q else "voxelgrid_50k", ms)
+
+    # --- kNN + normals at 100K (exact doubly-tiled MXU kNN).
+    n2 = 10000 if q else 100000
+    xyz1 = jnp.asarray(make_cloud_np(n2, rng, spread=10.0))
+    mask1 = jnp.ones(n2, dtype=bool)
+
+    def k_body(xyz, i):
+        idx, dist = knn_brute(xyz, mask1, k=10)
+        # Feedback through the result (mean neighbor distance) — keeps the
+        # chain dependent without changing the geometry meaningfully.
+        return xyz + 1e-6 * jnp.mean(jnp.where(
+            jnp.isfinite(dist), dist, 0.0)), ()
+
+    def k_body2(xyz, i):
+        return k_body(xyz, i)[0]
+
+    ms, _, _ = chain(k_body2, xyz1, K=2 if q else 4, pairs=3 if q else 6)
+    emit("knn_100k" if not q else "knn_10k", ms,
+         note="exact brute-force kNN k=10 incl. re-rank "
+              "(reference has no standalone kNN row)")
+
+    cloudn = from_numpy(np.asarray(xyz1))
+
+    def n_body(xyz, i):
+        c = dataclasses.replace(cloudn, xyz=xyz)
+        out = normals.estimate_normals(c, k=10)
+        nrm = out.channels["normal"]
+        return xyz + 1e-6 * nrm, ()
+
+    def n_body2(xyz, i):
+        return n_body(xyz, i)[0]
+
+    ms, _, _ = chain(n_body2, xyz1, K=2 if q else 4, pairs=3 if q else 6)
+    emit("normals_100k" if not q else "normals_10k", ms,
+         note="kNN k=10 + PCA normal per point (nanoPCL estimateNormals)")
+
+    # --- Registration ladder. Dense exact ICP at 10K; VGICP (voxelized
+    # Gaussian correspondences — the TPU-idiomatic large-N path) at
+    # 50K/100K, where nanoPCL's number is KdTree point-to-point ICP.
+    def reg(nn, method, name):
+        if q:
+            nn, name = 2000, f"{method}_2k_quick"
+        src = make_cloud_np(nn, rng, spread=10.0)
+        T_true = from_rpy(0.01, -0.02, 0.05, t=(0.3, -0.2, 0.1))
+        tgt = (np.asarray(T_true[:3, :3]) @ src.T).T + np.asarray(
+            T_true[:3, 3]
+        )
+        s, t = from_numpy(src), from_numpy(tgt.astype(np.float32))
+        kw = dict(method=method)  # default 30 iters, eps-converged
+        if method == "vgicp":
+            kw["voxel_size"] = 1.0
+        res = registration.align(s, t, **kw)  # warm (compile)
+        best = np.inf
+        for _ in range(2 if q else 3):
+            t0 = time.time()
+            res = registration.align(s, t, **kw)
+            best = min(best, (time.time() - t0) * 1e3)
+        err = float(np.linalg.norm(
+            np.asarray(res.T)[:3, 3] - np.asarray(T_true[:3, 3])
+        ))
+        emit(name, best,
+             note=f"wall time/align (host GN loop incl. per-step dispatch), "
+                  f"{res.iterations} iters, converged={bool(res.converged)}, "
+                  f"t_err={err:.4f} m"
+             + (" ; reference row is KdTree ICP" if method == "vgicp"
+                else ""))
+
+    reg(10000, "icp", "icp_10k")
+    if not q:
+        reg(50000, "vgicp", "vgicp_50k")
+        reg(100000, "vgicp", "vgicp_100k")
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "device": str(jax.devices()[0]),
+                "reference": "nanoPCL op table, Intel i7 -O3 "
+                             "(BASELINE.md; lib/nanoPCL/README.md:24-32)",
+                "configs": rows,
+            }, f, indent=2)
+            f.write("\n")
+        print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
