@@ -114,7 +114,10 @@ def _shardmap_step(
     no finite range filter, window > half map, indivisible shapes) —
     callers fall back to the GSPMD full-map path.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8 public API
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     from fastdem_tpu.mapping.pipeline import (
         IntegrateAux,

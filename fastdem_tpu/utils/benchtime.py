@@ -63,3 +63,37 @@ def two_length_diff_ms(
     ms = max((median(t2s) - median(t1s)) / K * 1e3, 1e-4)
     per_pair = [(b - a) / K * 1e3 for a, b in zip(t1s, t2s)]
     return ms, per_pair, median(t1s)
+
+
+def summarize(samples, iqr_factor: float = 1.5) -> dict:
+    """Robust sample statistics in the reference benchmark harness's shape
+    (nanoPCL lib/nanoPCL/benchmarks/common/benchmark_common.hpp: Stats with
+    mean/stddev/median/CI95 after IQR outlier removal).
+
+    Removes samples outside [q1 - f*IQR, q3 + f*IQR], then reports
+    mean/stddev (ddof=1)/median/min/max and the 95% confidence interval of
+    the mean (1.96 * stddev / sqrt(n)). Use for wall-time rep pools where
+    a stall tail would otherwise skew the mean (the two-length chain
+    estimator above is the right tool for chained device throughput; this
+    is for per-call latencies and host-loop timings).
+    """
+    xs = np.asarray(samples, dtype=np.float64)
+    if xs.size == 0:
+        raise ValueError("summarize() needs at least one sample")
+    q1, q3 = np.percentile(xs, [25, 75])
+    iqr = q3 - q1
+    keep = (xs >= q1 - iqr_factor * iqr) & (xs <= q3 + iqr_factor * iqr)
+    kept = xs[keep]
+    n = int(kept.size)
+    mean = float(kept.mean())
+    std = float(kept.std(ddof=1)) if n > 1 else 0.0
+    return {
+        "n": n,
+        "outliers_removed": int(xs.size - n),
+        "mean": mean,
+        "stddev": std,
+        "median": float(np.median(kept)),
+        "min": float(kept.min()),
+        "max": float(kept.max()),
+        "ci95": 1.96 * std / np.sqrt(n) if n > 0 else 0.0,
+    }

@@ -459,3 +459,23 @@ def test_two_length_diff_estimator():
     ms0, _, _ = two_length_diff_ms(fake(K), fake(K), K, pairs=2)
     assert ms0 >= 1e-4
     assert median([1.0, 2.0, 3.0, 4.0]) == 2.5
+
+
+def test_benchtime_summarize():
+    """IQR-outlier-removed stats in the reference harness's shape
+    (nanoPCL benchmark_common.hpp Stats: mean/stddev/median/CI95)."""
+    from fastdem_tpu.utils.benchtime import summarize
+
+    st = summarize([10.0, 10.2, 9.8, 10.1, 9.9, 100.0])  # one stall outlier
+    assert st["outliers_removed"] == 1
+    assert st["n"] == 5
+    assert 9.9 < st["mean"] < 10.1
+    assert 9.9 <= st["median"] <= 10.1
+    assert st["max"] <= 10.2
+    assert st["ci95"] > 0
+    st1 = summarize([5.0])
+    assert st1["n"] == 1 and st1["stddev"] == 0.0 and st1["ci95"] == 0.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        summarize([])

@@ -212,17 +212,21 @@ def main():
         kw = dict(method=method)  # default 30 iters, eps-converged
         if method == "vgicp":
             kw["voxel_size"] = 1.0
+        from fastdem_tpu.utils.benchtime import summarize
+
         res = registration.align(s, t, **kw)  # warm (compile)
-        best = np.inf
-        for _ in range(2 if q else 3):
+        times = []
+        for _ in range(3 if q else 5):
             t0 = time.time()
             res = registration.align(s, t, **kw)
-            best = min(best, (time.time() - t0) * 1e3)
+            times.append((time.time() - t0) * 1e3)
+        st = summarize(times)
         err = float(np.linalg.norm(
             np.asarray(res.T)[:3, 3] - np.asarray(T_true[:3, 3])
         ))
-        emit(name, best,
+        emit(name, st["median"],
              note=f"wall time/align (host GN loop incl. per-step dispatch), "
+                  f"median of {st['n']} reps +-{st['ci95']:.1f} CI95, "
                   f"{res.iterations} iters, converged={bool(res.converged)}, "
                   f"t_err={err:.4f} m"
              + (" ; reference row is KdTree ICP" if method == "vgicp"
