@@ -239,13 +239,30 @@ def bench_postprocess(log, Kpp=64):
 
 def run_all(args):
     """--all orchestrator: one subprocess per config, strictly sequential,
-    parent device-free (see the note at the --all branch in main)."""
+    parent device-free (see the note at the --all branch in main).
+
+    BASELINE.md's measured configs run FIRST (headline, p2, rgbd, global,
+    postprocess); the documented-slower fused A/B harness runs last — its
+    vmapped program has the longest tunnel compile and the least
+    information value, so a wall-clock-bounded session still gets the
+    rows that matter. The artifact (--out) is rewritten after every
+    config, so a killed run keeps everything measured so far.
+    """
     import subprocess
 
     collected = []
     device = None
-    for name in ("headline", "fused", "p2", "rgbd", "rgbd_masked",
-                 "global", "postprocess"):
+    names = ("headline", "p2", "rgbd", "rgbd_masked", "global",
+             "postprocess", "fused")
+    if args.only:
+        only = set(args.only.split(","))
+        unknown = only - set(names)
+        if unknown:
+            print(f"[--all] unknown --only configs: {sorted(unknown)}",
+                  file=sys.stderr)
+            return 1
+        names = tuple(n for n in names if n in only)
+    for name in names:
         cmd = [sys.executable, __file__, "--config", name,
                "--scans", str(args.scans), "--points", str(args.points),
                "--scatter-mode", args.scatter_mode]
@@ -272,23 +289,23 @@ def run_all(args):
         if r.returncode != 0:
             print(f"[--all] config {name} failed:\n{r.stderr[-800:]}",
                   file=sys.stderr)
-
-    if args.out:
-        artifact = {
-            "device": device,
-            "baseline_ms": 10.0,
-            "estimator": "two-length difference, median-of-pairs "
-                         "(see chain_time)",
-            "isolation": "each config in its own process, strictly "
-                         "sequential — numbers from a device shared with "
-                         "a resident process read 20-80% higher "
-                         "(BENCH_NOTES.md round 4)",
-            "configs": collected,
-        }
-        with open(args.out, "w") as f:
-            json.dump(artifact, f, indent=2)
-            f.write("\n")
-        print(f"wrote {args.out}", file=sys.stderr)
+        if args.out:  # incremental: survive a wall-clock kill
+            artifact = {
+                "device": device,
+                "baseline_ms": 10.0,
+                "estimator": "two-length difference, median-of-pairs "
+                             "(see chain_time)",
+                "isolation": "each config in its own process, strictly "
+                             "sequential — numbers from a device shared "
+                             "with a resident process read 20-80% higher "
+                             "(BENCH_NOTES.md round 4)",
+                "configs": collected,
+            }
+            with open(args.out, "w") as f:
+                json.dump(artifact, f, indent=2)
+                f.write("\n")
+            print(f"wrote {args.out} ({len(collected)} rows)",
+                  file=sys.stderr)
 
     head = next(
         (c for c in collected
@@ -335,7 +352,11 @@ def main():
     ap.add_argument("--out", default=None, metavar="FILE",
                     help="with --all: write every config's stats as one "
                          "JSON file (the committed BENCH_ALL_r*.json "
-                         "artifact; VERDICT r2 #3)")
+                         "artifact; VERDICT r2 #3), rewritten after each "
+                         "config")
+    ap.add_argument("--only", default=None, metavar="A,B",
+                    help="with --all: run only these configs "
+                         "(comma-separated subset)")
     args = ap.parse_args()
 
     if args.all:
