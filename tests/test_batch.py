@@ -469,3 +469,60 @@ class TestExactSearchAnyN:
         assert kept.sum() < n  # something removed
         assert kept[50:].mean() > 0.9  # inliers mostly kept
         assert kept[:50].mean() < 0.2  # gross outliers mostly dropped
+
+
+class TestFusedDriver:
+    """driver="fused" (one jitted lax.while_loop per align) must agree
+    with driver="host" (per-step Python loop) — same math, one dispatch."""
+
+    def make_pair(self, rng):
+        n = 4000
+        src = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+        # Corrugation in both axes: a smooth tilted plane lets plain ICP
+        # slide tangentially (the equivalence check would still pass, but
+        # the recovery check needs a well-posed scene).
+        src[:, 2] = (
+            0.4 * np.sin(1.3 * src[:, 0]) + 0.3 * np.cos(1.7 * src[:, 1])
+        )
+        from fastdem_tpu.cloud.transform import from_rpy
+
+        T = np.asarray(from_rpy(0.02, -0.01, 0.06, t=(0.25, -0.15, 0.08)))
+        tgt = (T[:3, :3] @ src.T).T + T[:3, 3]
+        return src, tgt.astype(np.float32), T
+
+    @pytest.mark.parametrize(
+        "method,optimizer",
+        [("icp", "gn"), ("gicp", "gn"), ("icp", "lm"), ("vgicp", "lm")],
+    )
+    def test_fused_matches_host(self, method, optimizer):
+        from fastdem_tpu.cloud import registration as reg
+
+        rng = np.random.default_rng(7)
+        src, tgt, T_expect = self.make_pair(rng)
+        kw = dict(
+            method=method, optimizer=optimizer, max_iterations=25,
+            voxel_size=0.8,
+        )
+        r_host = reg.align(pc.from_numpy(src), pc.from_numpy(tgt),
+                           driver="host", **kw)
+        r_fused = reg.align(pc.from_numpy(src), pc.from_numpy(tgt),
+                            driver="fused", **kw)
+        assert r_fused.converged == r_host.converged
+        assert r_fused.iterations == r_host.iterations
+        assert r_fused.num_correspondences == r_host.num_correspondences
+        np.testing.assert_allclose(r_fused.T, r_host.T, atol=1e-5)
+        np.testing.assert_allclose(
+            r_fused.error, r_host.error, rtol=1e-4, atol=1e-7
+        )
+        # And both recover the applied motion.
+        assert np.linalg.norm(r_fused.T[:3, 3] - T_expect[:3, 3]) < 0.08
+
+    def test_unknown_driver_raises(self):
+        from fastdem_tpu.cloud import registration as reg
+
+        with pytest.raises(ValueError, match="driver"):
+            reg.align(
+                pc.from_numpy(np.zeros((10, 3), np.float32)),
+                pc.from_numpy(np.zeros((10, 3), np.float32)),
+                driver="nope",
+            )
