@@ -492,7 +492,8 @@ class TestFusedDriver:
 
     @pytest.mark.parametrize(
         "method,optimizer",
-        [("icp", "gn"), ("gicp", "gn"), ("icp", "lm"), ("vgicp", "lm")],
+        [("icp", "gn"), ("gicp", "gn"), ("point_to_plane", "gn"),
+         ("icp", "lm"), ("vgicp", "lm")],
     )
     def test_fused_matches_host(self, method, optimizer):
         from fastdem_tpu.cloud import registration as reg
