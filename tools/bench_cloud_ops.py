@@ -89,7 +89,15 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="smaller sizes / fewer pairs (CI smoke)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--sections", default=None, metavar="A,B",
+                    help="run only these sections (transform,voxel,knn,"
+                         "knn_bucket,normals,reg)")
     args = ap.parse_args()
+
+    sections = set(args.sections.split(",")) if args.sections else None
+
+    def want(name):
+        return sections is None or name in sections
 
     import jax
 
@@ -132,18 +140,22 @@ def main():
 
     # --- transform 500K: K dependent rigid transforms of a carried cloud.
     n = 50000 if q else 500000
-    xyz0 = jnp.asarray(make_cloud_np(n, rng))
-    T_step = jnp.asarray(from_rpy(0.001, 0.002, 0.003, t=(0.01, 0.02, 0.0)))
+    if want("transform"):
+        xyz0 = jnp.asarray(make_cloud_np(n, rng))
+        T_step = jnp.asarray(
+            from_rpy(0.001, 0.002, 0.003, t=(0.01, 0.02, 0.0))
+        )
 
-    def t_body(xyz, i):
-        return transform_points(xyz, T_step)
+        def t_body(xyz, i):
+            return transform_points(xyz, T_step)
 
-    ms, _, _ = chain(t_body, xyz0, K=32 if q else 256, pairs=4 if q else 8)
-    emit("transform_500k" if not q else "transform_50k", ms)
+        ms, _, _ = chain(t_body, xyz0, K=32 if q else 256,
+                         pairs=4 if q else 8)
+        emit("transform_500k" if not q else "transform_50k", ms)
 
     # --- voxelGrid 500K (ANY mode, like the pipeline's raycast downsample;
     # sort-based; the carried offset makes every iteration's keys fresh).
-    cloud500 = from_numpy(make_cloud_np(n, rng))
+    cloud500 = from_numpy(make_cloud_np(n, rng)) if want("voxel") else None
 
     def v_body(carry, i):
         xyz, mask = carry
@@ -158,9 +170,10 @@ def main():
         c, _ = v_body(carry, i)
         return c
 
-    ms, _, _ = chain(v_body2, (cloud500.xyz, cloud500.mask),
-                     K=8 if q else 32, pairs=4 if q else 8)
-    emit("voxelgrid_500k" if not q else "voxelgrid_50k", ms)
+    if want("voxel"):
+        ms, _, _ = chain(v_body2, (cloud500.xyz, cloud500.mask),
+                         K=8 if q else 32, pairs=4 if q else 8)
+        emit("voxelgrid_500k" if not q else "voxelgrid_50k", ms)
 
     # --- kNN + normals at 100K (exact doubly-tiled MXU kNN).
     n2 = 10000 if q else 100000
@@ -177,10 +190,33 @@ def main():
     def k_body2(xyz, i):
         return k_body(xyz, i)[0]
 
-    ms, _, _ = chain(k_body2, xyz1, K=2 if q else 4, pairs=3 if q else 6)
-    emit("knn_100k" if not q else "knn_10k", ms,
-         note="exact brute-force kNN k=10 incl. re-rank "
-              "(reference has no standalone kNN row)")
+    if want("knn"):
+        ms, _, _ = chain(k_body2, xyz1, K=2 if q else 4,
+                         pairs=3 if q else 6)
+        emit("knn_100k" if not q else "knn_10k", ms,
+             note="exact brute-force kNN k=10 incl. re-rank "
+                  "(reference has no standalone kNN row)")
+
+    if want("knn_bucket"):
+        # The latency-bound alternative: voxel-bucket kNN (27-neighborhood
+        # candidates, approximate on bucket overflow) — the right tool at
+        # 100K, where exact-any-N pays ~N^2 top-k merge work.
+        from fastdem_tpu.cloud.search import knn as knn_any
+
+        def kb_body(xyz, i):
+            idx, dist = knn_any(xyz, mask1, 10, method="bucket",
+                                bucket_size=0.3)
+            return xyz + 1e-6 * jnp.mean(jnp.where(
+                jnp.isfinite(dist), dist, 0.0)), ()
+
+        def kb_body2(xyz, i):
+            return kb_body(xyz, i)[0]
+
+        ms, _, _ = chain(kb_body2, xyz1, K=2 if q else 4,
+                         pairs=3 if q else 6)
+        emit("knn_100k_bucket" if not q else "knn_10k_bucket", ms,
+             note="voxel-bucket kNN k=10 (approximate on bucket "
+                  "overflow; per_bucket=8, bucket 0.3 m)")
 
     cloudn = from_numpy(np.asarray(xyz1))
 
@@ -193,9 +229,27 @@ def main():
     def n_body2(xyz, i):
         return n_body(xyz, i)[0]
 
-    ms, _, _ = chain(n_body2, xyz1, K=2 if q else 4, pairs=3 if q else 6)
-    emit("normals_100k" if not q else "normals_10k", ms,
-         note="kNN k=10 + PCA normal per point (nanoPCL estimateNormals)")
+    if want("normals"):
+        ms, _, _ = chain(n_body2, xyz1, K=2 if q else 4,
+                         pairs=3 if q else 6)
+        emit("normals_100k" if not q else "normals_10k", ms,
+             note="kNN k=10 + PCA normal per point (nanoPCL "
+                  "estimateNormals)")
+
+    if want("normals_bucket"):
+        def nb_body(xyz, i):
+            c = dataclasses.replace(cloudn, xyz=xyz)
+            out = normals.estimate_normals(c, k=10, method="bucket",
+                                           bucket_size=0.3)
+            return xyz + 1e-6 * out.channels["normal"], ()
+
+        def nb_body2(xyz, i):
+            return nb_body(xyz, i)[0]
+
+        ms, _, _ = chain(nb_body2, xyz1, K=2 if q else 4,
+                         pairs=3 if q else 6)
+        emit("normals_100k_bucket" if not q else "normals_10k_bucket", ms,
+             note="bucket-kNN + PCA normal per point")
 
     # --- Registration ladder. Dense exact ICP at 10K; VGICP (voxelized
     # Gaussian correspondences — the TPU-idiomatic large-N path) at
@@ -232,10 +286,11 @@ def main():
              + (" ; reference row is KdTree ICP" if method == "vgicp"
                 else ""))
 
-    reg(10000, "icp", "icp_10k")
-    if not q:
-        reg(50000, "vgicp", "vgicp_50k")
-        reg(100000, "vgicp", "vgicp_100k")
+    if want("reg"):
+        reg(10000, "icp", "icp_10k")
+        if not q:
+            reg(50000, "vgicp", "vgicp_50k")
+            reg(100000, "vgicp", "vgicp_100k")
 
     if args.out:
         with open(args.out, "w") as f:
