@@ -456,6 +456,8 @@ def align(
     max_inner_iterations: int = 10,
     covariance_epsilon: float = 1e-3,
     driver: str = "fused",
+    knn_method: str = "auto",
+    knn_bucket_size: Optional[float] = None,
 ) -> RegistrationResult:
     """Align source to target (nanopcl::registration::align equivalent).
 
@@ -471,6 +473,13 @@ def align(
     optimizers/lm_optimizer.hpp:52-85: accept a trial step only if the
     re-evaluated error drops — lambda /= lambda_factor on success, *=
     on failure, up to ``max_inner_iterations`` trials per outer step).
+
+    ``knn_method``/``knn_bucket_size``: neighbor search used for the
+    normal/covariance preparation ("auto" = exact brute kNN; "bucket" =
+    voxel-bucket candidates — at 50K+ points the exact any-N kNN's
+    ~N^2 top-k merges dominate the whole align wall time, and the
+    bucket search cuts that prep by an order of magnitude at the cost
+    of approximate neighborhoods, which GICP covariances tolerate).
 
     ``driver``: "fused" (default) runs the whole GN/LM loop as ONE jitted
     lax.while_loop program — one device dispatch per align instead of one
@@ -493,20 +502,32 @@ def align(
 
     if method == "point_to_plane":
         if "normal" not in target.channels:
-            target = nrm.estimate_normals(target, k=knn_covariance)
+            target = nrm.estimate_normals(
+                target, k=knn_covariance, method=knn_method,
+                bucket_size=knn_bucket_size,
+            )
         t_normals = target.channels["normal"]
     elif method == "gicp":
         if "covariance" not in source.channels:
-            source = nrm.estimate_covariances(source, k=knn_covariance)
+            source = nrm.estimate_covariances(
+                source, k=knn_covariance, method=knn_method,
+                bucket_size=knn_bucket_size,
+            )
         if "covariance" not in target.channels:
-            target = nrm.estimate_covariances(target, k=knn_covariance)
+            target = nrm.estimate_covariances(
+                target, k=knn_covariance, method=knn_method,
+                bucket_size=knn_bucket_size,
+            )
         s_cov = source.channels["covariance"]
         t_cov = target.channels["covariance"]
     corr = "nearest"
     vox_keys = jnp.zeros(1, dtype=jnp.int32)
     if method == "vgicp":
         if "covariance" not in source.channels:
-            source = nrm.estimate_covariances(source, k=knn_covariance)
+            source = nrm.estimate_covariances(
+                source, k=knn_covariance, method=knn_method,
+                bucket_size=knn_bucket_size,
+            )
         s_cov = source.channels["covariance"]
         vkeys, vmean, vcov, vvalid = voxel_distributions(target, voxel_size)
         # Containing-voxel correspondence against the distribution table;

@@ -527,3 +527,23 @@ class TestFusedDriver:
                 pc.from_numpy(np.zeros((10, 3), np.float32)),
                 driver="nope",
             )
+
+
+def test_align_bucket_knn_prep():
+    """GICP with voxel-bucket covariance prep (knn_method="bucket") still
+    recovers the motion — the large-N fast path for align's neighbor
+    preparation."""
+    from fastdem_tpu.cloud import registration as reg
+    from fastdem_tpu.cloud.transform import from_rpy
+
+    rng = np.random.default_rng(11)
+    src = rng.uniform(-5, 5, (5000, 3)).astype(np.float32)
+    src[:, 2] = 0.4 * np.sin(1.3 * src[:, 0]) + 0.3 * np.cos(1.7 * src[:, 1])
+    T = np.asarray(from_rpy(0.02, -0.01, 0.05, t=(0.2, -0.1, 0.05)))
+    tgt = ((T[:3, :3] @ src.T).T + T[:3, 3]).astype(np.float32)
+    res = reg.align(
+        pc.from_numpy(src), pc.from_numpy(tgt), method="gicp",
+        optimizer="lm", knn_method="bucket", knn_bucket_size=0.5,
+    )
+    assert res.converged
+    assert np.linalg.norm(res.T[:3, 3] - T[:3, 3]) < 0.03

@@ -263,9 +263,15 @@ def main():
             T_true[:3, 3]
         )
         s, t = from_numpy(src), from_numpy(tgt.astype(np.float32))
-        kw = dict(method=method)  # default 30 iters, eps-converged
+        # LM terminates decisively (accept-only steps; plain GN oscillates
+        # at the strict eps on this corrugated scene); bucket-kNN prep for
+        # the distribution methods — exact any-N kNN's ~N^2 merges would
+        # otherwise dominate the align wall time at 50K+.
+        kw = dict(method=method, optimizer="lm")
         if method == "vgicp":
             kw["voxel_size"] = 1.0
+            kw["knn_method"] = "bucket"
+            kw["knn_bucket_size"] = 0.3
         from fastdem_tpu.utils.benchtime import summarize
 
         res = registration.align(s, t, **kw)  # warm (compile)
@@ -279,7 +285,7 @@ def main():
             np.asarray(res.T)[:3, 3] - np.asarray(T_true[:3, 3])
         ))
         emit(name, st["median"],
-             note=f"wall time/align (host GN loop incl. per-step dispatch), "
+             note=f"wall time/align (fused one-dispatch LM solve + neighbor prep), "
                   f"median of {st['n']} reps +-{st['ci95']:.1f} CI95, "
                   f"{res.iterations} iters, converged={bool(res.converged)}, "
                   f"t_err={err:.4f} m"
