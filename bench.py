@@ -448,8 +448,13 @@ def main():
             cfg.raycasting.enabled = False
             cfg.sensor_model.type = SensorType.RGBD
 
+        # Cap the chain at K=16: the 2K leg stages 2K*300K points of scan
+        # buffers (230 MB at K=32) and the difference estimator inflates
+        # when the 2K program self-slows under that HBM pressure
+        # (CLAUDE.md caveat; r4: K=32 read 4.6 ms/scan while the identical
+        # step at K=16 read 2.68 — COMPILE_DRAWS_r4 range).
         ms3, c3 = bench_pipeline(
-            max(4, args.scans // 2), 300000, mut_rgbd, spread=6.0
+            max(4, min(16, args.scans // 2)), 300000, mut_rgbd, spread=6.0
         )
         log("rgbd 300K pts local", ms3, c3)
         emit_cfg("rgbd_300k_15m", ms3)
