@@ -114,8 +114,14 @@ def _shardmap_step(
     no finite range filter, window > half map, indivisible shapes) —
     callers fall back to the GSPMD full-map path.
     """
+    # jax >= 0.8 public API renamed check_rep -> check_vma; keep one call
+    # convention here and adapt (the experimental path is deprecated).
     try:
-        from jax import shard_map  # jax >= 0.8 public API
+        from jax import shard_map as _shard_map
+
+        def shard_map(*a, check_rep=True, **kw):
+            return _shard_map(*a, check_vma=check_rep, **kw)
+
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
