@@ -74,14 +74,25 @@ def speedup_panel(ax, rows, title, ref_key="vs_baseline"):
     names = [LABELS.get(r["config"], r["config"]) for r in rows][::-1]
     sp = [r[ref_key] for r in rows][::-1]
     y = range(len(rows))
-    ax.barh(y, sp, height=0.55, color=SERIES1, zorder=3)
+    # Log axis when the spread spans decades (library ops run 0.01x to
+    # 1000x): a linear axis collapses every bar but the winner.
+    logscale = max(sp) / max(min(sp), 1e-9) > 50
+    ax.barh(y, sp, height=0.55, color=SERIES1, zorder=3,
+            left=min(sp) / 10 if logscale else 0)
     ax.axvline(1.0, color=TEXT2, linewidth=1, zorder=4)
     ax.set_yticks(list(y), names)
     for yi, v, r in zip(y, sp, rows[::-1]):
-        ax.text(v + max(sp) * 0.015, yi, f"{v:g}x ({r['ms']:g} ms)",
+        off = v * 1.15 if logscale else v + max(sp) * 0.015
+        ax.text(off, yi, f"{v:g}x ({r['ms']:g} ms)",
                 va="center", ha="left", fontsize=8.5, color=TEXT)
-    ax.set_xlim(0, max(sp) * 1.35)
-    ax.set_xlabel("speedup over reference (x)", fontsize=9)
+    if logscale:
+        ax.set_xscale("log")
+        ax.set_xlim(min(sp) / 10, max(sp) * 40)
+        ax.set_xlabel("speedup over reference (x, log scale; <1 = slower)",
+                      fontsize=9)
+    else:
+        ax.set_xlim(0, max(sp) * 1.35)
+        ax.set_xlabel("speedup over reference (x)", fontsize=9)
     ax.set_title(title, fontsize=11, loc="left")
     ax.xaxis.grid(True, color=GRID, linewidth=0.8, zorder=0)
     style_axis(ax)
@@ -129,9 +140,13 @@ def main():
     args = ap.parse_args()
 
     def latest(pattern):
+        # [0-9]* digits only: partial artifacts (BENCH_ALL_r4_rest.json
+        # etc.) must not shadow the merged per-round file.
         paths = sorted(glob.glob(os.path.join(REPO, pattern)))
+        paths = [p for p in paths
+                 if os.path.basename(p).split("_r")[-1][:-5].isdigit()]
         if args.round:
-            paths = [p for p in paths if f"r{args.round}" in p]
+            paths = [p for p in paths if f"r{args.round}.json" in p]
         return paths[-1] if paths else None
 
     panels = []
