@@ -35,7 +35,7 @@ def make_scans(K, N, rng, spread=7.2):
     return np.stack([x, y, z], axis=-1).astype(np.float32)
 
 
-def chain_time(step, state, scans, masks, tx, pairs=10):
+def chain_time(step, state, scans, masks, tx, pairs=10, compile_mode="aot"):
     import jax
     import jax.numpy as jnp
 
@@ -54,8 +54,27 @@ def chain_time(step, state, scans, masks, tx, pairs=10):
 
     K = scans.shape[0]
     t0 = time.time()
-    out = run(state, scans, masks, tx)
-    jax.block_until_ready(out.layers)
+    # Compile path: "aot" compiles through run.lower(...).compile() and
+    # times the returned executables; "jit" times jit dispatch. The r4
+    # per-process bimodality (BENCH_NOTES "Round 4 final session") showed
+    # byte-identical StableHLO reading 40-70% apart between the two
+    # harnesses; tools/bench_aot_vs_jit.py is the one-process A/B. AOT is
+    # the default: under it every BASELINE config measured at target
+    # (COMPILE_DRAWS_r4: kalman 0.90-0.94, p2 0.78, rgbd 2.6-2.7).
+    if compile_mode == "aot":
+        aot1 = run.lower(state, scans, masks, tx).compile()
+        jax.block_until_ready(aot1(state, scans, masks, tx).layers)
+
+        def call_k():
+            return aot1(state, scans, masks, tx)
+
+    else:
+        out = run(state, scans, masks, tx)
+        jax.block_until_ready(out.layers)
+
+        def call_k():
+            return run(state, scans, masks, tx)
+
     compile_s = time.time() - t0
 
     # Two-length difference estimator: each run() call pays a host->tunnel
@@ -78,8 +97,20 @@ def chain_time(step, state, scans, masks, tx, pairs=10):
         scans2 = jnp.concatenate([scans, scans])
         masks2 = jnp.concatenate([masks, masks])
         tx2 = jnp.concatenate([tx, tx])
-        out2 = run(state, scans2, masks2, tx2)
-        jax.block_until_ready(out2.layers)
+        if compile_mode == "aot":
+            aot2 = run.lower(state, scans2, masks2, tx2).compile()
+            jax.block_until_ready(aot2(state, scans2, masks2, tx2).layers)
+
+            def call_2k():
+                return aot2(state, scans2, masks2, tx2)
+
+        else:
+            out2 = run(state, scans2, masks2, tx2)
+            jax.block_until_ready(out2.layers)
+
+            def call_2k():
+                return run(state, scans2, masks2, tx2)
+
         compile_s = time.time() - t0
     except Exception as e:  # noqa: BLE001
         print(f"2K chain failed ({e}); raw quotient only", file=sys.stderr)
@@ -87,7 +118,7 @@ def chain_time(step, state, scans, masks, tx, pairs=10):
     from fastdem_tpu.utils.benchtime import median, two_length_diff_ms
 
     def run_k():
-        jax.block_until_ready(run(state, scans, masks, tx).layers)
+        jax.block_until_ready(call_k().layers)
 
     if not diff:
         t1s = []
@@ -98,7 +129,7 @@ def chain_time(step, state, scans, masks, tx, pairs=10):
         return median(t1s) / K * 1e3, compile_s
 
     def run_2k():
-        jax.block_until_ready(run(state, scans2, masks2, tx2).layers)
+        jax.block_until_ready(call_2k().layers)
 
     ms, per_pair, med_k = two_length_diff_ms(run_k, run_2k, K, pairs=pairs)
     raw = med_k / K * 1e3
@@ -116,6 +147,7 @@ def chain_time(step, state, scans, masks, tx, pairs=10):
         "raw_quotient": round(raw, 4),
         "K": K,
         "compile_s": round(compile_s, 1),
+        "compile_mode": compile_mode,
     }
     return ms, compile_s
 
@@ -143,7 +175,7 @@ def fused_time(fused, state, scans, masks, tx, reps=3):
 
 
 def bench_pipeline(K, N, cfg_mut=None, spread=7.2, geom_m=15.0, res=0.1,
-                   scatter_mode="packed", fused=False):
+                   scatter_mode="packed", fused=False, compile_mode="aot"):
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
@@ -170,61 +202,84 @@ def bench_pipeline(K, N, cfg_mut=None, spread=7.2, geom_m=15.0, res=0.1,
         )
         return fused_time(fn, state, scans, masks, tx)
     step = build_integrate(geom, cfg, jit=False, scatter_mode=scatter_mode)
-    return chain_time(step, state, scans, masks, tx)
+    return chain_time(step, state, scans, masks, tx,
+                      compile_mode=compile_mode)
 
 
-def bench_postprocess(log, Kpp=64):
+def bench_postprocess(log, compile_mode="aot"):
     """Post-processing chain on a snapshot (UF + inpaint + FE), chained
     with the two-length difference estimator (dispatch through the tunnel
-    otherwise dominates this sub-millisecond chain)."""
+    otherwise dominates this sub-millisecond chain).
+
+    Two rows: the 150x150 LOCAL snapshot and the 2000x2000 GLOBAL map —
+    the reference's async postprocess cadence runs on the global preset
+    (ros2/config/global_mapping.yaml, 200x200 m @ 0.1 m;
+    src/uncertainty_fusion.cpp:103-186). The 150x150 chain sits near the
+    estimator's noise floor, so the row carries an explicit error bar and
+    a ``clamped`` flag + dispatch-inflated upper bound instead of
+    committing the 1e-4 clamp as a measurement (ADVICE r4 / VERDICT #5)."""
     import jax
     import jax.numpy as jnp
 
     from fastdem_tpu import GridGeometry, PostProcessConfig
     from fastdem_tpu.postprocess import apply_postprocess_fn
-
-    geom = GridGeometry.from_length(15.0, 15.0, 0.1)
-    pp = PostProcessConfig()
-    pp.inpainting.enabled = True
-    pp.uncertainty_fusion.enabled = True
-    pp.feature_extraction.enabled = True
-    fn = apply_postprocess_fn(geom, pp)
-    rng = np.random.default_rng(0)
-    elev = jnp.asarray(rng.normal(0, 0.1, geom.shape).astype(np.float32))
-
-    def make_pp(length):
-        @jax.jit
-        def run_pp(e):
-            def body(c, _):
-                out = fn(c, c + 0.1, c - 0.1)
-                return out["elevation"] + out["slope"] * 1e-9, ()
-
-            o, _ = jax.lax.scan(body, e, None, length=length)
-            return o
-
-        return run_pp
-
     from fastdem_tpu.utils.benchtime import two_length_diff_ms
 
-    pp1, pp2 = make_pp(Kpp), make_pp(2 * Kpp)
-    jax.block_until_ready(pp1(elev))
-    jax.block_until_ready(pp2(elev))
-    ms_pp, _, _ = two_length_diff_ms(
-        lambda: jax.block_until_ready(pp1(elev)),
-        lambda: jax.block_until_ready(pp2(elev)),
-        Kpp, pairs=6,
-    )
-    log("postprocess chain (UF+inp+FE)", ms_pp, 0)
-    print("BENCHCFG " + json.dumps({
-        "config": "postprocess_uf_inpaint_fe_15m",
-        "ms": round(ms_pp, 4),
-        "K": Kpp,
-        # Different metric than the per-scan rows: the async postprocess
-        # timer chain has no ~10 ms/scan reference baseline to divide by.
-        "vs_baseline": None,
-        "note": "ms per UF+inpaint+FE pass on a 150x150 snapshot; "
-                "two-length difference estimator",
-    }), flush=True)
+    def one(geom_m, res, Kpp, pairs, name, label):
+        geom = GridGeometry.from_length(geom_m, geom_m, res)
+        pp = PostProcessConfig()
+        pp.inpainting.enabled = True
+        pp.uncertainty_fusion.enabled = True
+        pp.feature_extraction.enabled = True
+        fn = apply_postprocess_fn(geom, pp)
+        rng = np.random.default_rng(0)
+        elev = jnp.asarray(rng.normal(0, 0.1, geom.shape).astype(np.float32))
+
+        def make_pp(length):
+            def run_pp(e):
+                def body(c, _):
+                    out = fn(c, c + 0.1, c - 0.1)
+                    return out["elevation"] + out["slope"] * 1e-9, ()
+
+                o, _ = jax.lax.scan(body, e, None, length=length)
+                return o
+
+            if compile_mode == "aot":
+                return jax.jit(run_pp).lower(elev).compile()
+            return jax.jit(run_pp)
+
+        pp1, pp2 = make_pp(Kpp), make_pp(2 * Kpp)
+        jax.block_until_ready(pp1(elev))
+        jax.block_until_ready(pp2(elev))
+        ms_pp, per_pair, med_k = two_length_diff_ms(
+            lambda: jax.block_until_ready(pp1(elev)),
+            lambda: jax.block_until_ready(pp2(elev)),
+            Kpp, pairs=pairs,
+        )
+        raw = med_k / Kpp * 1e3  # dispatch-inflated upper bound
+        clamped = ms_pp <= 1e-4 or ms_pp < (max(per_pair) - min(per_pair))
+        log(f"postprocess UF+inp+FE ({label})", max(ms_pp, 1e-4), 0)
+        row = {
+            "config": name,
+            "ms": None if clamped else round(ms_pp, 4),
+            "clamped": clamped,
+            "upper_bound_ms": round(raw, 4),
+            "per_pair_min": round(min(per_pair), 4),
+            "per_pair_max": round(max(per_pair), 4),
+            "K": Kpp,
+            "pairs": pairs,
+            "compile_mode": compile_mode,
+            # Different metric than the per-scan rows: the async
+            # postprocess timer chain has no ~10 ms/scan baseline.
+            "vs_baseline": None,
+            "note": f"ms per UF+inpaint+FE pass on a {label} snapshot; "
+                    "two-length difference estimator; upper_bound_ms is "
+                    "the dispatch-inflated raw K-leg quotient",
+        }
+        print("BENCHCFG " + json.dumps(row), flush=True)
+
+    one(15.0, 0.1, 256, 8, "postprocess_uf_inpaint_fe_15m", "150x150")
+    one(200.0, 0.1, 16, 8, "postprocess_uf_inpaint_fe_200m", "2000x2000")
 
     if jax.device_count() > 1:
         from fastdem_tpu.config.config import Config, MappingMode
@@ -265,7 +320,8 @@ def run_all(args):
     for name in names:
         cmd = [sys.executable, __file__, "--config", name,
                "--scans", str(args.scans), "--points", str(args.points),
-               "--scatter-mode", args.scatter_mode]
+               "--scatter-mode", args.scatter_mode,
+               "--compile-mode", args.compile_mode]
         if args.no_raycast and name in ("headline", "fused"):
             cmd.append("--no-raycast")
         if args.trace and name == "headline":
@@ -344,6 +400,13 @@ def main():
     ap.add_argument("--scatter-mode", default="rows",
                     choices=["rows", "packed", "twophase", "sort"],
                     help="rasterizer formulation (A/B within one session)")
+    ap.add_argument("--compile-mode", default="aot",
+                    choices=["aot", "jit"],
+                    help="compile the chain via lower().compile() (aot) or "
+                         "jit dispatch (jit). The r4 record split 40-70% "
+                         "between the two on byte-identical programs "
+                         "(BENCH_NOTES per-process bimodality); "
+                         "tools/bench_aot_vs_jit.py is the A/B")
     ap.add_argument("--fused", action="store_true",
                     help="also measure the K-fused offline-replay program")
     ap.add_argument("--trace", default=None, metavar="DIR",
@@ -429,7 +492,7 @@ def main():
         )
         return
     if args.config == "postprocess":
-        bench_postprocess(log)
+        bench_postprocess(log, compile_mode=args.compile_mode)
         return
     if args.config == "p2":
         from fastdem_tpu.config.config import EstimationType
@@ -437,7 +500,8 @@ def main():
         def mut_p2(cfg):
             cfg.mapping.estimation_type = EstimationType.P2_QUANTILE
 
-        ms2, c2 = bench_pipeline(args.scans, args.points, mut_p2)
+        ms2, c2 = bench_pipeline(args.scans, args.points, mut_p2,
+                                 compile_mode=args.compile_mode)
         log("p2 quantile + lidar + raycast", ms2, c2)
         emit_cfg("p2_lidar_raycast_15m", ms2)
         return
@@ -448,13 +512,16 @@ def main():
             cfg.raycasting.enabled = False
             cfg.sensor_model.type = SensorType.RGBD
 
-        # Cap the chain at K=16: the 2K leg stages 2K*300K points of scan
-        # buffers (230 MB at K=32) and the difference estimator inflates
-        # when the 2K program self-slows under that HBM pressure
-        # (CLAUDE.md caveat; r4: K=32 read 4.6 ms/scan while the identical
-        # step at K=16 read 2.68 — COMPILE_DRAWS_r4 range).
+        # Cap the chain at K=16 as an HBM-footprint precaution (the 2K leg
+        # stages 2K*300K points of scan buffers — 230 MB at K=32). Note the
+        # r4 4.6-vs-2.68 ms/scan split was NOT this cap's doing: the k=16
+        # reading in bench.py's path was still 4.64 while the AOT harness
+        # read 2.68 the same session — that was the per-process jit-vs-AOT
+        # bimodality (BENCH_NOTES "Round 4 final session"), addressed by
+        # compile_mode="aot".
         ms3, c3 = bench_pipeline(
-            max(4, min(16, args.scans // 2)), 300000, mut_rgbd, spread=6.0
+            max(4, min(16, args.scans // 2)), 300000, mut_rgbd, spread=6.0,
+            compile_mode=args.compile_mode,
         )
         log("rgbd 300K pts local", ms3, c3)
         emit_cfg("rgbd_300k_15m", ms3)
@@ -499,12 +566,14 @@ def main():
         state = create_map_state(geom, cfg)
         step = build_integrate(geom, cfg, jit=False)
         ms_f, c_f = chain_time(
-            step, state, jnp.asarray(scans), jnp.asarray(masks), tx
+            step, state, jnp.asarray(scans), jnp.asarray(masks), tx,
+            compile_mode=args.compile_mode,
         )
         log("rgbd 300K cap, 120K valid (full)", ms_f, c_f)
         emit_cfg("rgbd_300k_masked60_fullcap", ms_f)
         ms_b, c_b = chain_time(
-            step, state, jnp.asarray(comp), jnp.asarray(comp_masks), tx
+            step, state, jnp.asarray(comp), jnp.asarray(comp_masks), tx,
+            compile_mode=args.compile_mode,
         )
         log(f"same, bucketed cap {cap_b}", ms_b, c_b)
         emit_cfg("rgbd_300k_masked60_bucketed", ms_b)
@@ -521,7 +590,7 @@ def main():
 
         ms4, c4 = bench_pipeline(
             max(4, args.scans // 4), args.points, mut_global, spread=18.0,
-            geom_m=200.0,
+            geom_m=200.0, compile_mode=args.compile_mode,
         )
         log("global 200m 4M cells + raycast", ms4, c4)
         emit_cfg("global_200m_raycast", ms4)
@@ -530,17 +599,20 @@ def main():
     if args.trace:
         # Warm (compile) once, then trace a single timed run.
         bench_pipeline(args.scans, args.points, mut_headline,
-                       scatter_mode=args.scatter_mode)
+                       scatter_mode=args.scatter_mode,
+                       compile_mode=args.compile_mode)
         with jax.profiler.trace(args.trace):
             ms, comp = bench_pipeline(
                 args.scans, args.points, mut_headline,
                 scatter_mode=args.scatter_mode,
+                compile_mode=args.compile_mode,
             )
         print(f"trace -> {args.trace}", file=sys.stderr)
     else:
         ms, comp = bench_pipeline(
             args.scans, args.points, mut_headline,
             scatter_mode=args.scatter_mode,
+            compile_mode=args.compile_mode,
         )
     log("local kalman lidar + raycast", ms, comp)
     emit_cfg("local_kalman_lidar_raycast_15m", ms)

@@ -245,6 +245,8 @@ def _build_fused_driver(
     init_lambda: float,
     lambda_factor: float,
     max_inner_iterations: int,
+    relative_error_eps: float,
+    min_correspondences: int,
 ):
     """Whole-optimization jitted driver: the GN/LM iteration loop runs as
     ONE device program (lax.while_loop), so an align() costs one dispatch
@@ -262,11 +264,18 @@ def _build_fused_driver(
     """
     teps = jnp.float32(translation_eps)
     reps = jnp.float32(rotation_eps)
+    releps = jnp.float32(relative_error_eps)
+    min_corr = jnp.int32(min_correspondences)
 
     def small(delta):
         return (jnp.linalg.norm(delta[:3]) < teps) & (
             jnp.linalg.norm(delta[3:]) < reps
         )
+
+    def stalled(prev_err, err):
+        # Reference criteria.hpp:48-52: |e_prev - e_curr| / e_prev <
+        # relative_error_eps (prev initialized huge -> first rel ~ 1.0).
+        return jnp.abs(prev_err - err) / jnp.maximum(prev_err, 1e-30) < releps
 
     if optimizer == "gn":
 
@@ -275,20 +284,39 @@ def _build_fused_driver(
             lam = jnp.float32(1e-6)
 
             def cond(c):
-                _, it, conv, _, _ = c
-                return (it < max_iterations) & jnp.logical_not(conv)
-
-            def body(c):
-                T, it, _, _, _ = c
-                T_new, delta, err, n_corr = step(T, lam, *a)
+                _, it, conv, fail, _, _, _ = c
                 return (
-                    T_new, it + 1, small(delta), err,
-                    n_corr.astype(jnp.int32),
+                    (it < max_iterations)
+                    & jnp.logical_not(conv)
+                    & jnp.logical_not(fail)
                 )
 
-            init = (T, jnp.int32(0), jnp.bool_(False),
-                    jnp.float32(jnp.inf), jnp.int32(0))
-            T, it, conv, err, n_corr = jax.lax.while_loop(cond, body, init)
+            def body(c):
+                T, it, _, _, prev_err, _, _ = c
+                # step() linearizes at T: err is the error AT T (pre-step),
+                # matching the reference loop (iterative_solver.hpp:113-143
+                # — converged() compares prev/current model errors, then
+                # new_T is returned on success).
+                T_new, delta, err, n_corr = step(T, lam, *a)
+                n_corr = n_corr.astype(jnp.int32)
+                enough = n_corr >= min_corr
+                conv = (small(delta) | stalled(prev_err, err)) & enough
+                # Too few correspondences -> failed result at the CURRENT
+                # transform, iteration not counted
+                # (iterative_solver.hpp:119-121 makeFailedResult).
+                return (
+                    jnp.where(enough, T_new, T),
+                    it + enough.astype(jnp.int32),
+                    conv,
+                    jnp.logical_not(enough),
+                    err, err, n_corr,
+                )
+
+            init = (T, jnp.int32(0), jnp.bool_(False), jnp.bool_(False),
+                    jnp.float32(3.4e38), jnp.float32(jnp.inf), jnp.int32(0))
+            T, it, conv, _fail, _, err, n_corr = jax.lax.while_loop(
+                cond, body, init
+            )
             return T, it, conv, err, n_corr
 
         return run
@@ -298,11 +326,15 @@ def _build_fused_driver(
         err0, n0 = err_fn(T, *a)
 
         def cond(c):
-            _, it, conv, _, _, _ = c
-            return (it < max_iterations) & jnp.logical_not(conv)
+            _, it, conv, fail, _, _, _ = c
+            return (
+                (it < max_iterations)
+                & jnp.logical_not(conv)
+                & jnp.logical_not(fail)
+            )
 
         def body(c):
-            T, it, _, err, n_corr, lam = c
+            T, it, _, _, err, n_corr, lam = c
             H, g, _, _ = linearize(T, *a)
 
             def icond(ic):
@@ -336,14 +368,23 @@ def _build_fused_driver(
             _, accepted, lam2, T2, err2, n2, delta2 = jax.lax.while_loop(
                 icond, ibody, iinit
             )
+            enough = n2 >= min_corr
             # No improving trial -> local minimum (converged, state kept);
-            # an accepted tiny step also converges.
-            conv = jnp.logical_not(accepted) | small(delta2)
-            return (T2, it + 1, conv, err2, n2, lam2)
+            # an accepted tiny step or a stalled error also converges
+            # (criteria.hpp is_stable || is_stalled).
+            conv = (
+                jnp.logical_not(accepted)
+                | small(delta2)
+                | (accepted & stalled(err, err2))
+            ) & enough
+            return (T2, it + 1, conv, jnp.logical_not(enough), err2, n2,
+                    lam2)
 
-        init = (T, jnp.int32(0), jnp.bool_(False), err0,
+        init = (T, jnp.int32(0), jnp.bool_(False), n0 < min_corr, err0,
                 n0.astype(jnp.int32), jnp.float32(init_lambda))
-        T, it, conv, err, n_corr, _ = jax.lax.while_loop(cond, body, init)
+        T, it, conv, _fail, err, n_corr, _ = jax.lax.while_loop(
+            cond, body, init
+        )
         return T, it, conv, err, n_corr
 
     return run
@@ -366,12 +407,14 @@ def _step_fns_cached(method, kernel, kernel_scale, max_dist, corr,
 def _fused_driver_cached(optimizer, method, kernel, kernel_scale, max_dist,
                          corr, voxel_size, max_iterations, translation_eps,
                          rotation_eps, init_lambda, lambda_factor,
-                         max_inner_iterations):
+                         max_inner_iterations, relative_error_eps,
+                         min_correspondences):
     raw, _ = _step_fns_cached(method, kernel, kernel_scale, max_dist, corr,
                               voxel_size)
     return _build_fused_driver(
         optimizer, *raw, max_iterations, translation_eps, rotation_eps,
         init_lambda, lambda_factor, max_inner_iterations,
+        relative_error_eps, min_correspondences,
     )
 
 
@@ -442,10 +485,12 @@ def align(
     target: PointCloud,
     method: str = "gicp",
     init: Optional[np.ndarray] = None,
-    max_iterations: int = 30,
+    max_iterations: int = 50,
     max_correspondence_distance: float = 1.0,
     translation_eps: float = 1e-4,
     rotation_eps: float = 1e-4,
+    relative_error_eps: float = 1e-6,
+    min_correspondences: int = 10,
     kernel: str = "none",
     kernel_scale: float = 1.0,
     knn_covariance: int = 10,
@@ -554,6 +599,7 @@ def align(
             max_correspondence_distance, corr, voxel_size,
             max_iterations, translation_eps, rotation_eps,
             init_lambda, lambda_factor, max_inner_iterations,
+            relative_error_eps, min_correspondences,
         )
         T, it_j, conv_j, err_j, n_corr_j = run(T, *args())
         return RegistrationResult(
@@ -571,56 +617,74 @@ def align(
         voxel_size,
     )
 
+    def _small(delta):
+        return (
+            np.linalg.norm(delta[:3]) < translation_eps
+            and np.linalg.norm(delta[3:]) < rotation_eps
+        )
+
+    def _stalled(prev_err, cur_err):
+        # criteria.hpp:48-52 is_stalled (prev initialized huge -> ~1.0).
+        return abs(prev_err - cur_err) / max(prev_err, 1e-30) < (
+            relative_error_eps
+        )
+
     converged = False
     err = float("inf")
     n_corr = 0
     it = 0
     if optimizer == "gn":
         lam = jnp.float32(1e-6)
+        prev_err = 3.4e38
         for it in range(1, max_iterations + 1):
-            T, delta, err_j, n_corr_j = step(T, lam, *args())
+            T_new, delta, err_j, n_corr_j = step(T, lam, *args())
             delta = np.asarray(delta)
             err = float(err_j)
             n_corr = int(n_corr_j)
-            if (
-                np.linalg.norm(delta[:3]) < translation_eps
-                and np.linalg.norm(delta[3:]) < rotation_eps
-            ):
+            if n_corr < min_correspondences:
+                it -= 1  # failed result at the pre-step transform
+                break
+            T = T_new
+            if _small(delta) or _stalled(prev_err, err):
                 converged = True
                 break
+            prev_err = err
     else:  # adaptive LM
         lam = float(init_lambda)
         err_j, n_corr_j = err_fn(T, *args())
         err = float(err_j)
         n_corr = int(n_corr_j)
-        for it in range(1, max_iterations + 1):
-            accepted = False
-            delta = np.zeros(6)
-            # Linearize ONCE at T; lambda trials only re-solve + re-check
-            # the error (reference lm_optimizer.hpp:52-85).
-            H, g, _, _ = linearize_fn(T, *args())
-            for _ in range(max_inner_iterations):
-                T_try, delta_j = solve_retract(H, g, T, jnp.float32(lam))
-                err_new_j, n_new_j = err_fn(T_try, *args())
-                err_new = float(err_new_j)
-                if err_new < err:
-                    lam = max(lam / lambda_factor, 1e-12)
-                    T = T_try
-                    err = err_new
-                    n_corr = int(n_new_j)
-                    delta = np.asarray(delta_j)
-                    accepted = True
+        if n_corr < min_correspondences:
+            it = 0
+        else:
+            for it in range(1, max_iterations + 1):
+                accepted = False
+                delta = np.zeros(6)
+                prev_err = err
+                # Linearize ONCE at T; lambda trials only re-solve +
+                # re-check the error (reference lm_optimizer.hpp:52-85).
+                H, g, _, _ = linearize_fn(T, *args())
+                for _ in range(max_inner_iterations):
+                    T_try, delta_j = solve_retract(H, g, T, jnp.float32(lam))
+                    err_new_j, n_new_j = err_fn(T_try, *args())
+                    err_new = float(err_new_j)
+                    if err_new < err:
+                        lam = max(lam / lambda_factor, 1e-12)
+                        T = T_try
+                        err = err_new
+                        n_corr = int(n_new_j)
+                        delta = np.asarray(delta_j)
+                        accepted = True
+                        break
+                    lam = min(lam * lambda_factor, 1e8)
+                if accepted and n_corr < min_correspondences:
+                    break  # failed: too few correspondences
+                if not accepted:
+                    converged = True  # no improving step: local minimum
                     break
-                lam = min(lam * lambda_factor, 1e8)
-            if not accepted:
-                converged = True  # no improving step exists: local minimum
-                break
-            if (
-                np.linalg.norm(delta[:3]) < translation_eps
-                and np.linalg.norm(delta[3:]) < rotation_eps
-            ):
-                converged = True
-                break
+                if _small(delta) or _stalled(prev_err, err):
+                    converged = True
+                    break
 
     return RegistrationResult(
         T=np.asarray(T),

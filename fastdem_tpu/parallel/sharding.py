@@ -115,12 +115,23 @@ def _shardmap_step(
     callers fall back to the GSPMD full-map path.
     """
     # jax >= 0.8 public API renamed check_rep -> check_vma; keep one call
-    # convention here and adapt (the experimental path is deprecated).
+    # convention here and adapt by feature-detecting the kwarg (a jax that
+    # exposes jax.shard_map but still takes check_rep would otherwise
+    # TypeError instead of falling back — ADVICE r4).
     try:
+        import inspect
+
         from jax import shard_map as _shard_map
 
+        _kwarg = (
+            "check_vma"
+            if "check_vma" in inspect.signature(_shard_map).parameters
+            else "check_rep"
+        )
+
         def shard_map(*a, check_rep=True, **kw):
-            return _shard_map(*a, check_vma=check_rep, **kw)
+            kw[_kwarg] = check_rep
+            return _shard_map(*a, **kw)
 
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map

@@ -38,7 +38,7 @@ def two_length_diff_ms(
     run_2k: Callable[[], None],
     K: int,
     pairs: int = 10,
-) -> Tuple[float, List[float]]:
+) -> Tuple[float, List[float], float]:
     """Median-of-pairs two-length difference estimate of ms per iteration.
 
     ``run_k`` / ``run_2k`` execute the K- and 2K-iteration chains and BLOCK

@@ -91,7 +91,7 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--sections", default=None, metavar="A,B",
                     help="run only these sections (transform,voxel,knn,"
-                         "knn_bucket,normals,reg)")
+                         "knn_bucket,normals,normals_bucket,reg)")
     args = ap.parse_args()
 
     sections = set(args.sections.split(",")) if args.sections else None
