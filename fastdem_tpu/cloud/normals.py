@@ -15,8 +15,10 @@ eigendecomposition (cloud/pca.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from fastdem_tpu.cloud.pca import eigh3x3
@@ -44,6 +46,21 @@ def _neighborhood_cov(
     return cov, cnt
 
 
+@jax.jit
+def _normals_tail(xyz: jnp.ndarray, idx: jnp.ndarray, vp: jnp.ndarray):
+    """Post-kNN normal computation as ONE program (the eager op-by-op
+    form pays a per-op dispatch through a remote-device link)."""
+    cov, cnt = _neighborhood_cov(xyz, idx)
+    lam, vec = eigh3x3(cov)
+    normal = vec[..., 0]  # smallest eigenvector
+    to_vp = vp[None, :] - xyz
+    flip = jnp.sum(normal * to_vp, axis=-1) < 0.0
+    normal = jnp.where(flip[:, None], -normal, normal)
+    # Degenerate neighborhoods (fewer than 3 points) -> zero normal.
+    ok = (cnt >= 3.0) & (lam[..., 2] > 1e-12)
+    return jnp.where(ok[:, None], normal, 0.0)
+
+
 def estimate_normals(
     cloud: PointCloud,
     k: int = 10,
@@ -53,32 +70,17 @@ def estimate_normals(
 ) -> PointCloud:
     """Adds a 'normal' channel; normals oriented toward ``viewpoint``."""
     idx, _ = knn(cloud.xyz, cloud.mask, k, method=method, bucket_size=bucket_size)
-    cov, cnt = _neighborhood_cov(cloud.xyz, idx)
-    lam, vec = eigh3x3(cov)
-    normal = vec[..., 0]  # smallest eigenvector
-    vp = jnp.asarray(viewpoint, dtype=jnp.float32)
-    to_vp = vp[None, :] - cloud.xyz
-    flip = jnp.sum(normal * to_vp, axis=-1) < 0.0
-    normal = jnp.where(flip[:, None], -normal, normal)
-    # Degenerate neighborhoods (fewer than 3 points) -> zero normal.
-    ok = (cnt >= 3.0) & (lam[..., 2] > 1e-12)
-    normal = jnp.where(ok[:, None], normal, 0.0)
+    normal = _normals_tail(
+        cloud.xyz, idx, jnp.asarray(viewpoint, dtype=jnp.float32)
+    )
     return cloud.with_channel("normal", normal)
 
 
-def estimate_covariances(
-    cloud: PointCloud,
-    k: int = 10,
-    regularize: bool = True,
-    epsilon: float = 1e-3,
-    method: str = "auto",
-    bucket_size: Optional[float] = None,
-) -> PointCloud:
-    """Adds a 'covariance' channel [N, 3, 3] (GICP-style). With
-    ``regularize``, eigenvalues are flattened to (eps, 1, 1) along the
-    principal axes — the standard plane-to-plane regularization."""
-    idx, _ = knn(cloud.xyz, cloud.mask, k, method=method, bucket_size=bucket_size)
-    cov, cnt = _neighborhood_cov(cloud.xyz, idx)
+@functools.partial(jax.jit, static_argnames=("regularize",))
+def _cov_tail(
+    xyz: jnp.ndarray, idx: jnp.ndarray, epsilon, regularize: bool
+):
+    cov, cnt = _neighborhood_cov(xyz, idx)
     if regularize:
         lam, vec = eigh3x3(cov)
         # Replace eigenvalues by (eps, 1, 1) in ascending-order slots.
@@ -95,5 +97,22 @@ def estimate_covariances(
         )
     ok = cnt >= 3.0
     eye = jnp.eye(3, dtype=cov.dtype)
-    cov = jnp.where(ok[:, None, None], cov, eye)
+    return jnp.where(ok[:, None, None], cov, eye)
+
+
+def estimate_covariances(
+    cloud: PointCloud,
+    k: int = 10,
+    regularize: bool = True,
+    epsilon: float = 1e-3,
+    method: str = "auto",
+    bucket_size: Optional[float] = None,
+) -> PointCloud:
+    """Adds a 'covariance' channel [N, 3, 3] (GICP-style). With
+    ``regularize``, eigenvalues are flattened to (eps, 1, 1) along the
+    principal axes — the standard plane-to-plane regularization."""
+    idx, _ = knn(cloud.xyz, cloud.mask, k, method=method, bucket_size=bucket_size)
+    cov = _cov_tail(
+        cloud.xyz, idx, jnp.float32(epsilon), regularize
+    )
     return cloud.with_channel("covariance", cov)

@@ -1,4 +1,4 @@
-"""Spatial neighbor search: brute-force and voxel-bucket kNN / radius.
+"""Spatial neighbor search: brute-force, voxel-bucket, and dense-grid kNN.
 
 TPU-native replacement for nanoPCL's KdTree / VoxelHash
 (/root/reference/fastdem/lib/nanoPCL/include/nanopcl/search/kdtree.hpp:20-49,
@@ -6,7 +6,20 @@ search/voxel_hash.hpp:22-60). Tree traversal is hostile to SIMD/XLA; instead:
 
   * brute: doubly-tiled [B, C] distance tiles (query chunks x data chunks)
     with a running top-k merge — EXACT at any N, MXU-shaped (|p-q|^2 via
-    the Gram-matrix expansion), peak memory independent of N. The default.
+    the Gram-matrix expansion), peak memory independent of N.
+  * grid (``knn_grid`` / ``DenseGrid``): EXACT sub-quadratic kNN — a
+    host-built dense-CSR voxel grid whose per-query candidates are NINE
+    contiguous z-column slices of the spatially sorted cloud (one
+    row-slice gather per column, the gather fast path — BENCH_NOTES
+    "tile-row gathers"), plus a per-query exactness certificate: the
+    result is provably exact when no candidate column overflowed its
+    capacity AND the kth distance <= bucket_size (a query lies inside its
+    own bucket, so every point outside the 3x3x3 neighborhood is > one
+    bucket away — the same termination proof as nanoflann's
+    ball-within-bounds test). Queries failing the certificate fall back
+    to the brute tile — the result is exact at ANY N, with the O(N^2)
+    work paid only by the (few) sparse-region queries. The default for
+    large concrete clouds.
   * bucket: sort points into voxel buckets (lexicographic sort, CSR ranges
     via searchsorted), gather up to M candidates from each of the 27
     neighboring buckets, top_k over the 27*M candidates — approximate
@@ -33,6 +46,12 @@ _NEIGHBOR_OFFSETS = [
     for dz in (-1, 0, 1)
 ]
 
+# Self-kNN point count above which method="auto" switches from the brute
+# tile to the exact grid+certificate path (knn_grid). The brute tile's
+# top-k merge cost grows ~N^2 (1.54 s at 100K on a v5e, BENCH_OPS_r4);
+# the grid pass is ~linear.
+_GRID_CROSSOVER = 32768
+
 
 def knn_brute(
     xyz: jnp.ndarray,
@@ -42,6 +61,7 @@ def knn_brute(
     exclude_self: bool = True,
     chunk: int = 1024,
     data_chunk: int = 16384,
+    self_indices: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact kNN at ANY N by doubly-tiled dense distances with a running
     top-k (VERDICT r1 #3: the old single-tile form materialized [chunk, N]
@@ -122,19 +142,28 @@ def knn_brute(
     nq = q.shape[0]
     pad = (-nq) % chunk
     qp = jnp.concatenate([q, jnp.full((pad, 3), 1e9, dtype=q.dtype)])
-    self_ids = (
-        jnp.concatenate(
+    if self_indices is not None:
+        self_ids = jnp.concatenate(
+            [self_indices.astype(jnp.int32), jnp.full(pad, -1, jnp.int32)]
+        )
+    elif queries is None:
+        self_ids = jnp.concatenate(
             [jnp.arange(nq, dtype=jnp.int32), jnp.full(pad, -1, jnp.int32)]
         )
-        if queries is None
-        else jnp.full(nq + pad, -1, jnp.int32)
-    )
+    else:
+        self_ids = jnp.full(nq + pad, -1, jnp.int32)
     qp = qp.reshape(-1, chunk, 3)
     self_ids = self_ids.reshape(-1, chunk)
     d, idx = jax.lax.map(one_chunk, (qp, self_ids))
     d = d.reshape(-1, k)[:nq]
     idx = idx.reshape(-1, k)[:nq]
     return idx, jnp.sqrt(d)
+
+
+_knn_brute_jit = jax.jit(
+    knn_brute,
+    static_argnames=("k", "exclude_self", "chunk", "data_chunk"),
+)
 
 
 def radius_count_brute(
@@ -395,6 +424,334 @@ class BucketGrid:
         return jnp.sum(ok, axis=1)
 
 
+class DenseGrid:
+    """Dense-CSR voxel grid for EXACT sub-quadratic kNN (build once on the
+    host, query on device).
+
+    Build (host-driven, device-executed): tight grid dims from the masked
+    bounding box with a one-bucket empty margin on every side; points
+    lex-sorted by (x, y, z) bucket key; per-cell point counts by
+    segment-sum; CSR ``starts`` (cell id -> first sorted position) by
+    cumsum. Because the key is lex with z fastest, the 3-bucket z-window
+    of any (x, y) column is ONE contiguous span of the sorted array:
+    ``[starts[key(cx,cy,cz-1)], starts[key(cx,cy,cz-1)+3])``. A query's
+    27-bucket neighborhood is therefore NINE contiguous row slices — nine
+    size-[cap] dynamic-slice gathers per query chunk instead of 27
+    per-bucket element gathers (the row-slice form rides the gather fast
+    path; BENCH_NOTES "tile-row gathers", ~5x cheaper per index).
+
+    Exactness certificate (per query): the top-k over the column
+    candidates is the TRUE kNN iff (a) no visited column span exceeded
+    ``cap`` (no candidate was dropped) and (b) the kth distance is <=
+    ``bucket_size`` — a query lies inside its own bucket, so any point
+    outside the 3x3x3 neighborhood is farther than one bucket side
+    (nanoflann's ball-within-bounds termination,
+    lib/nanoPCL/thirdparty/nanoflann/nanoflann.hpp searchLevel). Callers
+    (knn_grid) re-run only the failing queries through the exact brute
+    tile.
+
+    The reference structure is nanoPCL's KdTree (nanoflann wrapper,
+    search/kdtree.hpp:20-49); this is its TPU-shaped equivalent: O(log N)
+    per-query traversal is replaced by O(1) table lookups + a fixed-width
+    candidate reduction, exactness kept via the certificate + fallback.
+    """
+
+    def __init__(
+        self,
+        xyz: jnp.ndarray,
+        mask: jnp.ndarray,
+        bucket_size: float,
+        max_cells: int = 4_000_000,
+        dims: Optional[Tuple[int, int, int]] = None,
+        origin: Optional[jnp.ndarray] = None,
+    ):
+        self.xyz = xyz
+        self.mask = mask
+        n = xyz.shape[0]
+        if dims is None or origin is None:
+            bucket_size, dims, origin_np = _grid_geometry(
+                xyz, mask, bucket_size, max_cells
+            )
+            origin = jnp.asarray(origin_np)
+        self.bucket_size = float(bucket_size)
+        self.origin = origin
+        self.dims = tuple(int(d) for d in dims)
+        nx, ny, nz = self.dims
+        self.ncells = nx * ny * nz
+
+        coords = self._coords(xyz)
+        key = self._key(coords)
+        key = jnp.where(mask, key, jnp.int32(self.ncells))  # invalid tail
+        self.sorted_key, self.order = jax.lax.sort(
+            (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        counts = jax.ops.segment_sum(
+            mask.astype(jnp.int32), key, num_segments=self.ncells + 1
+        )[: self.ncells]
+        self.starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+        )  # [ncells + 1]
+        # Sorted coordinates, padded so a dynamic slice starting anywhere
+        # in [0, n] stays in range; pad rows are far-away sentinels.
+        self.sorted_xyz = xyz[self.order]
+        # Inverse permutation: original index -> sorted position (for
+        # self-exclusion without an extra gather).
+        self.inv_order = (
+            jnp.zeros(n, dtype=jnp.int32)
+            .at[self.order]
+            .set(jnp.arange(n, dtype=jnp.int32))
+        )
+
+    def _coords(self, p: jnp.ndarray) -> jnp.ndarray:
+        c = jnp.floor(
+            (p - self.origin) / self.bucket_size
+        ).astype(jnp.int32)
+        return jnp.clip(
+            c, 1, jnp.asarray(self.dims, dtype=jnp.int32) - 2
+        )
+
+    def _key(self, c: jnp.ndarray) -> jnp.ndarray:
+        nx, ny, nz = self.dims
+        return (c[..., 0] * ny + c[..., 1]) * nz + c[..., 2]
+
+    def knn(
+        self,
+        queries: jnp.ndarray,
+        k: int,
+        cap: int = 64,
+        self_pos: Optional[jnp.ndarray] = None,
+        chunk: int = 4096,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Candidate-column kNN with exactness certificate.
+
+        ``self_pos``: per-query SORTED position to exclude (pass
+        ``grid.inv_order`` for self-kNN), or None.
+
+        Returns (idx i32[Q, k] into the original cloud, dist f32[Q, k],
+        exact bool[Q]). Entries beyond the kth neighbor are idx=-1 /
+        dist=inf; ``exact[i]`` certifies idx[i]/dist[i] is the true kNN.
+        """
+        n = self.xyz.shape[0]
+        nz = self.dims[2]
+        capc = min(cap, n)
+        b2 = jnp.float32(self.bucket_size * self.bucket_size)
+        pad_xyz = jnp.concatenate(
+            [self.sorted_xyz, jnp.full((capc, 3), 1e9, jnp.float32)]
+        )
+        order_pad = jnp.concatenate(
+            [self.order, jnp.full(capc, -1, jnp.int32)]
+        )
+        col_iota = jnp.arange(capc, dtype=jnp.int32)
+        offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+        def one_chunk(qc_in):
+            qq, spos = qc_in  # [B, 3], [B]
+            qc = self._coords(qq)
+            base_key = self._key(qc)  # column key of the (0, 0, z) bucket
+            all_d2, all_pos, overflow = [], [], jnp.zeros(
+                qq.shape[0], dtype=bool
+            )
+            for dx, dy in offsets:
+                ck = base_key + (dx * self.dims[1] + dy) * nz - 1
+                start = self.starts[ck]
+                end = self.starts[ck + 3]
+                overflow = overflow | ((end - start) > capc)
+                pts = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        pad_xyz, (s, 0), (capc, 3)
+                    )
+                )(start)  # [B, cap, 3]
+                pos = start[:, None] + col_iota[None, :]
+                valid = pos < end[:, None]
+                diff = pts - qq[:, None, :]
+                d2 = jnp.sum(diff * diff, axis=-1)
+                d2 = jnp.where(valid, d2, _INF)
+                if self_pos is not None:
+                    d2 = jnp.where(pos == spos[:, None], _INF, d2)
+                all_d2.append(d2)
+                all_pos.append(pos)
+            cat_d = jnp.concatenate(all_d2, axis=1)
+            cat_p = jnp.concatenate(all_pos, axis=1)
+            kk = min(k, cat_d.shape[1])
+            neg, sel = jax.lax.top_k(-cat_d, kk)
+            d2k = -neg
+            pos_sel = jnp.take_along_axis(cat_p, sel, axis=1)
+            idx = jnp.where(
+                jnp.isfinite(d2k), order_pad[jnp.clip(pos_sel, 0, n)], -1
+            )
+            got_k = jnp.isfinite(d2k[:, -1])
+            exact = (
+                jnp.logical_not(overflow) & got_k & (d2k[:, -1] <= b2)
+            )
+            if kk < k:
+                padw = k - kk
+                d2k = jnp.concatenate(
+                    [d2k, jnp.full((d2k.shape[0], padw), _INF)], axis=1
+                )
+                idx = jnp.concatenate(
+                    [idx, jnp.full((idx.shape[0], padw), -1, jnp.int32)],
+                    axis=1,
+                )
+            return d2k, idx, exact
+
+        nq = queries.shape[0]
+        pad = (-nq) % chunk
+        qp = jnp.concatenate(
+            [queries, jnp.full((pad, 3), 1e9, dtype=queries.dtype)]
+        ).reshape(-1, chunk, 3)
+        spos = (
+            self_pos
+            if self_pos is not None
+            else jnp.full(nq, -1, jnp.int32)
+        )
+        spos = jnp.concatenate(
+            [spos.astype(jnp.int32), jnp.full(pad, -1, jnp.int32)]
+        ).reshape(-1, chunk)
+        d2, idx, exact = jax.lax.map(one_chunk, (qp, spos))
+        d2 = d2.reshape(-1, k)[:nq]
+        idx = idx.reshape(-1, k)[:nq]
+        exact = exact.reshape(-1)[:nq]
+        return idx, jnp.sqrt(jnp.maximum(d2, 0.0)), exact
+
+
+def _grid_geometry(xyz, mask, bucket_size: float, max_cells: int):
+    """Host-side grid geometry: masked bbox -> (bucket_size, dims, origin).
+    Grows the bucket if the tight grid would exceed ``max_cells`` (keeps
+    the CSR table dense-indexable)."""
+    import numpy as np
+
+    pts = np.asarray(xyz)[np.asarray(mask)]
+    if pts.shape[0] == 0:
+        pts = np.zeros((1, 3), np.float32)
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    b = float(bucket_size)
+    while True:
+        dims = np.maximum(np.ceil((hi - lo) / b + 1e-6), 1).astype(
+            np.int64
+        ) + 2  # one-bucket margin each side
+        if int(dims.prod()) <= max_cells:
+            break
+        b *= 1.5
+    return b, tuple(int(d) for d in dims), (lo - b).astype(np.float32)
+
+
+# jitted whole-pass closures keyed by their static configuration (a fresh
+# jax.jit wrapper per call would defeat the dispatch cache and re-trace
+# every call — same reasoning as registration._step_fns_cached).
+_GRID_JIT_CACHE: dict = {}
+
+
+def _grid_knn_pass(dims, bucket_size, k, cap, self_exclude, max_cells):
+    """One jitted program: build the CSR grid AND run the candidate query
+    (sort + segment-sum + cumsum + 9 column slices + top-k) — a single
+    device dispatch per knn_grid call (the host only decides geometry and
+    the certificate fallback)."""
+    key = (dims, round(bucket_size, 9), k, cap, self_exclude)
+    fn = _GRID_JIT_CACHE.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(xyz, mask, origin, queries):
+            grid = DenseGrid(
+                xyz, mask, bucket_size, max_cells=max_cells, dims=dims,
+                origin=origin,
+            )
+            self_pos = grid.inv_order if self_exclude else None
+            return grid.knn(queries, k, cap=cap, self_pos=self_pos)
+
+        _GRID_JIT_CACHE[key] = fn
+    return fn
+
+
+def _auto_bucket_size(xyz, mask, k: int, sample: int = 512) -> float:
+    """Bucket side targeting ~90% certificate hits, measured not modeled:
+    brute-kNN a small random sample against the full cloud and take 1.2x
+    the 90th percentile of kth-neighbor distances. (A uniform-density
+    formula badly overestimates the bucket for 2.5D surface scans — the
+    points concentrate on a sheet, so volume density says 'sparse' while
+    every column overflows.) Cost: sample/N of one brute pass."""
+    import numpy as np
+
+    mask_np = np.asarray(mask)
+    n_valid = int(mask_np.sum())
+    if n_valid <= k + 1:
+        return 1.0
+    valid_idx = np.nonzero(mask_np)[0]
+    rng = np.random.default_rng(0)
+    s = min(sample, n_valid)
+    sel = valid_idx[rng.choice(n_valid, s, replace=False)]
+    q = jnp.asarray(np.asarray(xyz)[sel])
+    _, d = _knn_brute_jit(
+        xyz, mask, k, queries=q, exclude_self=True,
+        self_indices=jnp.asarray(sel.astype(np.int32)),
+    )
+    dk = np.asarray(d)[:, -1]
+    dk = dk[np.isfinite(dk)]
+    if dk.size == 0:
+        return 1.0
+    return float(max(1.2 * np.percentile(dk, 90), 1e-3))
+
+
+def knn_grid(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    bucket_size: Optional[float] = None,
+    cap: int = 64,
+    queries: Optional[jnp.ndarray] = None,
+    exclude_self: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EXACT kNN via the dense-grid candidate pass + brute fallback on the
+    queries whose certificate fails (sparse regions / overflowing columns).
+
+    Host-driven (the certificate decides a data-dependent second pass), so
+    NOT traceable under jit — large offline callers (normals, SOR,
+    registration prep) are host-level anyway; in-jit users take
+    ``knn_brute``. Cost: one sort + 9 row-slice gathers + top-k for all
+    queries, plus the O(N) brute tile for only the failing fraction.
+    """
+    import numpy as np
+
+    from fastdem_tpu.cloud.pointcloud import ladder_capacity
+
+    q = xyz if queries is None else queries
+    if bucket_size is None:
+        bucket_size = _auto_bucket_size(xyz, mask, k)
+    bucket_size, dims, origin = _grid_geometry(
+        xyz, mask, bucket_size, 4_000_000
+    )
+    fn = _grid_knn_pass(
+        dims, bucket_size, k, cap, queries is None and exclude_self,
+        4_000_000,
+    )
+    idx, dist, exact = fn(xyz, mask, jnp.asarray(origin), q)
+    exact_np = np.asarray(exact)
+    # Invalid (masked) self-queries report garbage either way; don't pay
+    # brute for them.
+    if queries is None:
+        exact_np = exact_np | ~np.asarray(mask)
+    n_fail = int((~exact_np).sum())
+    if n_fail == 0:
+        return idx, dist
+    fail = np.nonzero(~exact_np)[0]
+    capn = min(ladder_capacity(n_fail), q.shape[0])
+    fail_pad = np.concatenate(
+        [fail, np.full(capn - n_fail, fail[0], dtype=fail.dtype)]
+    )
+    fq = jnp.asarray(np.asarray(q)[fail_pad])
+    self_idx = None
+    if queries is None and exclude_self:
+        self_idx = jnp.asarray(fail_pad.astype(np.int32))
+    bi, bd = _knn_brute_jit(
+        xyz, mask, k, queries=fq, exclude_self=self_idx is not None,
+        self_indices=self_idx,
+    )
+    idx = idx.at[jnp.asarray(fail)].set(bi[:n_fail])
+    dist = dist.at[jnp.asarray(fail)].set(bd[:n_fail])
+    return idx, dist
+
+
 def knn(
     xyz: jnp.ndarray,
     mask: jnp.ndarray,
@@ -404,13 +761,29 @@ def knn(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Self-kNN over the cloud (each point's k nearest other points).
 
-    "auto" is EXACT at any N (doubly-tiled knn_brute; VERDICT r1 #3 —
-    previously N > 64K fell back to the approximate bucket search). The
-    bucket method remains available explicitly for latency-bound callers
-    that accept its per_bucket truncation."""
+    Every method here is EXACT except "bucket":
+
+      * "auto": exact always — the sub-quadratic grid+certificate path
+        (knn_grid) above ``_GRID_CROSSOVER`` points, the brute tile below
+        it or whenever the inputs are tracers (the grid path is
+        host-driven and cannot run under jit).
+      * "brute": doubly-tiled exact tile at any N (jit-safe).
+      * "grid": force the grid+fallback exact path.
+      * "bucket": capped 27-neighborhood candidates — approximate on
+        bucket overflow; latency-bound callers opt in explicitly."""
     n = xyz.shape[0]
-    if method in ("auto", "brute"):
+    if method == "auto":
+        concrete = not (
+            isinstance(xyz, jax.core.Tracer)
+            or isinstance(mask, jax.core.Tracer)
+        )
+        method = (
+            "grid" if (concrete and n >= _GRID_CROSSOVER) else "brute"
+        )
+    if method == "brute":
         return knn_brute(xyz, mask, k)
+    if method == "grid":
+        return knn_grid(xyz, mask, k, bucket_size=bucket_size)
     if method != "bucket":
         raise ValueError(f"unknown search method: {method!r}")
     if bucket_size is None:

@@ -91,7 +91,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--sections", default=None, metavar="A,B",
                     help="run only these sections (transform,voxel,knn,"
-                         "knn_bucket,normals,normals_bucket,reg)")
+                         "knn_grid,knn_bucket,normals,normals_grid,"
+                         "normals_bucket,reg)")
     args = ap.parse_args()
 
     sections = set(args.sections.split(",")) if args.sections else None
@@ -197,6 +198,65 @@ def main():
              note="exact brute-force kNN k=10 incl. re-rank "
                   "(reference has no standalone kNN row)")
 
+    cloudn = from_numpy(np.asarray(xyz1))
+
+    if want("knn_grid"):
+        # The exact sub-quadratic default (search.knn_grid): dense-grid
+        # column candidates + certificate, brute fallback on failures.
+        # Host-driven (the certificate is a host decision), so this is
+        # honest WALL time per call — directly comparable to nanoflann's
+        # host query loop, not a chained device number.
+        from fastdem_tpu.cloud.search import _auto_bucket_size, knn_grid
+        from fastdem_tpu.utils.benchtime import summarize
+
+        # Bucket side auto-sampled ONCE (1.2x p90 kth distance) — a
+        # per-sensor tunable, like choosing a voxel size; the timed call
+        # still includes the full grid BUILD (sort + CSR) and the brute
+        # fallback for certificate failures.
+        bsize = _auto_bucket_size(xyz1, mask1, 10)
+        knn_grid(xyz1, mask1, 10, bucket_size=bsize)  # warm (compiles)
+        times = []
+        for _ in range(3 if q else 5):
+            t0 = time.time()
+            idx, dist = knn_grid(xyz1, mask1, 10, bucket_size=bsize)
+            idx.block_until_ready()
+            times.append((time.time() - t0) * 1e3)
+        st = summarize(times)
+        emit("knn_100k_grid" if not q else "knn_10k_grid", st["median"],
+             note=f"EXACT dense-grid kNN k=10 wall ms/call incl. grid "
+                  f"build + certificate fallback, median of {st['n']} "
+                  f"reps +-{st['ci95']:.1f} CI95, bucket {bsize:.3f} m "
+                  f"(reference has no standalone kNN row)")
+
+    if want("normals_grid"):
+        from fastdem_tpu.cloud.search import _auto_bucket_size
+        from fastdem_tpu.utils.benchtime import summarize
+
+        bsize_n = _auto_bucket_size(xyz1, mask1, 10)
+
+        def normals_grid_once():
+            c = dataclasses.replace(cloudn, xyz=xyz1)
+            out = normals.estimate_normals(
+                c, k=10, method="grid", bucket_size=bsize_n
+            )
+            out.channels["normal"].block_until_ready()
+
+        normals_grid_once()  # warm
+        times = []
+        for _ in range(3 if q else 5):
+            t0 = time.time()
+            normals_grid_once()
+            times.append((time.time() - t0) * 1e3)
+        st = summarize(times)
+        REF["normals_100k_grid"] = REF["normals_100k"]
+        emit(
+            "normals_100k_grid" if not q else "normals_10k_grid",
+            st["median"],
+            note=f"EXACT grid-kNN + PCA normals wall ms/call, median of "
+                 f"{st['n']} reps +-{st['ci95']:.1f} CI95 (nanoPCL "
+                 f"estimateNormals ~50 ms at 100K)",
+        )
+
     if want("knn_bucket"):
         # The latency-bound alternative: voxel-bucket kNN (27-neighborhood
         # candidates, approximate on bucket overflow) — the right tool at
@@ -217,8 +277,6 @@ def main():
         emit("knn_100k_bucket" if not q else "knn_10k_bucket", ms,
              note="voxel-bucket kNN k=10 (approximate on bucket "
                   "overflow; per_bucket=8, bucket 0.3 m)")
-
-    cloudn = from_numpy(np.asarray(xyz1))
 
     def n_body(xyz, i):
         c = dataclasses.replace(cloudn, xyz=xyz)

@@ -92,12 +92,21 @@ def main():
                          "port); browse the printed URL")
     ap.add_argument("--burst", type=int, default=8,
                     help="max scans per batched program with --async-intake")
+    ap.add_argument("--program-cache", default=None, metavar="DIR",
+                    help="program-cache bundle (runtime/aotcache.py): load "
+                         "compiled executables from DIR instead of paying "
+                         "first-run XLA compiles (minutes over a remote "
+                         "backend); build one with tools/aot_warmup.py")
     args = ap.parse_args()
 
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.program_cache:
+        from fastdem_tpu.runtime import aotcache
+
+        aotcache.enable(args.program_cache)
 
     from fastdem_tpu.cloud import pointcloud as pc
     from fastdem_tpu.grid.gridmap import layers

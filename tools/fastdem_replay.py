@@ -58,19 +58,34 @@ def main():
                     help="point capacity per scan in prefetch mode "
                          "(larger scans are truncated)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--program-cache", default=None, metavar="DIR",
+                    help="program-cache bundle (runtime/aotcache.py): load "
+                         "compiled executables from DIR instead of paying "
+                         "first-run XLA compiles; build with "
+                         "tools/aot_warmup.py (default: the shared "
+                         "/tmp/fastdem_xla_cache)")
     args = ap.parse_args()
 
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    try:
-        import jax
+    if args.program_cache:
+        from fastdem_tpu.runtime import aotcache
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/fastdem_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+        aotcache.enable(args.program_cache)
+    else:
+        try:
+            import jax
+
+            jax.config.update(
+                "jax_compilation_cache_dir", "/tmp/fastdem_xla_cache"
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0
+            )
+        except Exception:
+            pass
 
     from fastdem_tpu.cloud.pointcloud import from_numpy
     from fastdem_tpu.grid.geometry import GridGeometry
