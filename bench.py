@@ -292,6 +292,52 @@ def bench_postprocess(log, compile_mode="aot"):
         print(f"sharded global map: {rep}", file=sys.stderr)
 
 
+def canary_check(cache_dir="/tmp/fastdem_xla_cache"):
+    """Wipe the persistent compile cache when the backend compiler has
+    drifted since its entries were written.
+
+    Mechanism found in r5 (the r4 'per-process bimodality'): cache-HIT
+    processes execute the executable compiled by a PREVIOUS session's
+    backend, and the remote compiler drifts between sessions
+    (BENCH_NOTES 'cross-session drift') — so stale entries can be 40%+
+    slower than a fresh compile of the same program, deterministically,
+    per process. The guard compiles one small canary WITHOUT the cache,
+    fingerprints its executable (aotcache's canary), and compares with
+    the stamp stored in the cache dir: mismatch -> wipe + restamp.
+    """
+    import os
+    import shutil
+
+    from fastdem_tpu.runtime.aotcache import _canary_fingerprint
+
+    fp = _canary_fingerprint()
+    stamp_path = os.path.join(cache_dir, "BACKEND_STAMP")
+    stored = None
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            stored = f.read().strip()
+    entries = (
+        [e for e in os.listdir(cache_dir) if e != "BACKEND_STAMP"]
+        if os.path.isdir(cache_dir)
+        else []
+    )
+    if stored == fp and fp != "unavailable":
+        print(f"CANARY ok {fp} ({len(entries)} entries kept)", flush=True)
+        return
+    if entries:
+        print(
+            f"CANARY drift {stored} -> {fp}: wiping {len(entries)} stale "
+            "cache entries",
+            flush=True,
+        )
+        shutil.rmtree(cache_dir, ignore_errors=True)
+    else:
+        print(f"CANARY stamping fresh cache {fp}", flush=True)
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(stamp_path, "w") as f:
+        f.write(fp + "\n")
+
+
 def run_all(args):
     """--all orchestrator: one subprocess per config, strictly sequential,
     parent device-free (see the note at the --all branch in main).
@@ -307,6 +353,21 @@ def run_all(args):
 
     collected = []
     device = None
+    # Stale-executable guard: a canary subprocess (the parent stays
+    # device-free) wipes the shared cache if the backend compiler moved
+    # since the entries were written — cache-hit processes otherwise run
+    # a previous session's schedules (the r4 bimodality mechanism).
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--canary-check"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for line in (r.stdout + r.stderr).splitlines():
+            if line.startswith("CANARY"):
+                print(f"[--all] {line}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("[--all] canary check timed out; cache left as-is",
+              file=sys.stderr)
     names = ("headline", "p2", "rgbd", "rgbd_masked", "global",
              "postprocess", "fused")
     if args.only:
@@ -420,7 +481,16 @@ def main():
     ap.add_argument("--only", default=None, metavar="A,B",
                     help="with --all: run only these configs "
                          "(comma-separated subset)")
+    ap.add_argument("--canary-check", action="store_true",
+                    help="compile a small canary (cache-bypassed), compare "
+                         "its executable fingerprint with the cache dir's "
+                         "stamp, and wipe stale entries (see canary_check)")
     args = ap.parse_args()
+
+    if args.canary_check:
+        # NOTE: must run with the persistent cache UNSET so the canary
+        # compiles fresh (a cached canary would match its own staleness).
+        return canary_check()
 
     if args.all:
         # Orchestrate every config as its OWN subprocess with the parent

@@ -37,7 +37,9 @@ _PAGE = """<!DOCTYPE html>
 let META = {rows: 0, cols: 0, res: 1, zmin: 0, zmax: 1, title: "",
             z_exaggeration: 1.5};
 let zq = new Float32Array(0);
-function decodeFrame(meta, b64){ // shared by the static and live pages
+let P = new Float32Array(0);   // last-scan points, xyz interleaved (m)
+let mode = 0;                   // 0 surface, 1 points, 2 both
+function decodeFrame(meta, b64, pb64){ // shared by static and live pages
   META = meta;
   const Z = Uint8Array.from(atob(b64), ch => ch.charCodeAt(0));
   zq = new Float32Array(META.rows * META.cols);
@@ -46,7 +48,21 @@ function decodeFrame(meta, b64){ // shared by the static and live pages
     zq[i] = q === 65535 ? NaN :
       META.zmin + (q / 65534) * (META.zmax - META.zmin);
   }
+  P = new Float32Array(0);
+  if (pb64 && META.pts) { // u16 xyz triples quantized over pts.bounds
+    const B = Uint8Array.from(atob(pb64), ch => ch.charCodeAt(0));
+    const n = META.pts.n, lo = META.pts.lo, hi = META.pts.hi;
+    P = new Float32Array(3 * n);
+    for (let i = 0; i < 3 * n; i++) {
+      const q = B[2 * i] | (B[2 * i + 1] << 8);
+      const a = i % 3;
+      P[i] = lo[a] + (q / 65535) * (hi[a] - lo[a]);
+    }
+  }
 }
+addEventListener("keydown", e => {
+  if (e.key === "m") { mode = (mode + 1) % 3; draw(); }
+});
 __DATA_JS__
 const cv = document.getElementById("c"), hud = document.getElementById("hud");
 const ctx = cv.getContext("2d");
@@ -79,44 +95,69 @@ function draw(){
   const s = zoom * Math.min(cv.width, cv.height) / (1.6 * ext);
   const zex = META.z_exaggeration;
   const cxs = cv.width / 2, cys = cv.height / 2;
-  // painter order: back-to-front along the view direction
-  const order = [];
-  for (let i = 0; i < rows - 1; i++)
-    for (let j = 0; j < cols - 1; j++) {
-      const z = zq[i * cols + j];
-      if (isNaN(z)) continue;
-      const x = (i - rows / 2) * res, y = (j - cols / 2) * res;
-      const d = (x * cy + y * sy);
-      order.push([d, i, j, z]);
-    }
-  order.sort((a, b) => a[0] - b[0]);
   function proj(x, y, z){
     const u = -x * sy + y * cy;
     const v = -(x * cy + y * sy) * cp + (z - (zmin + zmax) / 2) * zex * sp;
     return [cxs + u * s, cys - v * s];
   }
-  for (const [d, i, j, z] of order) {
-    const z10 = zq[(i + 1) * cols + j], z01 = zq[i * cols + j + 1];
-    const x = (i - rows / 2) * res, y = (j - cols / 2) * res;
-    const t = (z - zmin) / Math.max(1e-9, zmax - zmin);
-    let [r, g, b] = colormap(t);
-    // cheap slope shading from forward differences
-    const gx = isNaN(z10) ? 0 : (z10 - z) / res;
-    const gy = isNaN(z01) ? 0 : (z01 - z) / res;
-    const shade = 1 / (1 + 0.8 * Math.hypot(gx, gy));
-    ctx.fillStyle = `rgb(${r * shade | 0},${g * shade | 0},${b * shade | 0})`;
-    const p0 = proj(x, y, z);
-    const p1 = proj(x + res, y, isNaN(z10) ? z : z10);
-    const p2 = proj(x + res, y + res, z);
-    const p3 = proj(x, y + res, isNaN(z01) ? z : z01);
-    ctx.beginPath();
-    ctx.moveTo(p0[0], p0[1]); ctx.lineTo(p1[0], p1[1]);
-    ctx.lineTo(p2[0], p2[1]); ctx.lineTo(p3[0], p3[1]);
-    ctx.closePath(); ctx.fill();
+  if (mode != 1) { // surface quads, painter-sorted back-to-front
+    const order = [];
+    for (let i = 0; i < rows - 1; i++)
+      for (let j = 0; j < cols - 1; j++) {
+        const z = zq[i * cols + j];
+        if (isNaN(z)) continue;
+        const x = (i - rows / 2) * res, y = (j - cols / 2) * res;
+        const d = (x * cy + y * sy);
+        order.push([d, i, j, z]);
+      }
+    order.sort((a, b) => a[0] - b[0]);
+    for (const [d, i, j, z] of order) {
+      const z10 = zq[(i + 1) * cols + j], z01 = zq[i * cols + j + 1];
+      const x = (i - rows / 2) * res, y = (j - cols / 2) * res;
+      const t = (z - zmin) / Math.max(1e-9, zmax - zmin);
+      let [r, g, b] = colormap(t);
+      // cheap slope shading from forward differences
+      const gx = isNaN(z10) ? 0 : (z10 - z) / res;
+      const gy = isNaN(z01) ? 0 : (z01 - z) / res;
+      const shade = 1 / (1 + 0.8 * Math.hypot(gx, gy));
+      ctx.fillStyle =
+        `rgb(${r * shade | 0},${g * shade | 0},${b * shade | 0})`;
+      const p0 = proj(x, y, z);
+      const p1 = proj(x + res, y, isNaN(z10) ? z : z10);
+      const p2 = proj(x + res, y + res, z);
+      const p3 = proj(x, y + res, isNaN(z01) ? z : z01);
+      ctx.beginPath();
+      ctx.moveTo(p0[0], p0[1]); ctx.lineTo(p1[0], p1[1]);
+      ctx.lineTo(p2[0], p2[1]); ctx.lineTo(p3[0], p3[1]);
+      ctx.closePath(); ctx.fill();
+    }
   }
+  if (mode >= 1) { // map-as-cloud: one dot per valid cell center
+    for (let i = 0; i < rows; i++)
+      for (let j = 0; j < cols; j++) {
+        const z = zq[i * cols + j];
+        if (isNaN(z)) continue;
+        const t = (z - zmin) / Math.max(1e-9, zmax - zmin);
+        const [r, g, b] = colormap(t);
+        ctx.fillStyle = `rgb(${r | 0},${g | 0},${b | 0})`;
+        const p = proj((i - rows / 2) * res, (j - cols / 2) * res, z);
+        ctx.fillRect(p[0] - 1, p[1] - 1, 2, 2);
+      }
+  }
+  if (mode >= 1 && P.length) { // last-scan points (viewer frame)
+    ctx.fillStyle = "#ff9d45";
+    for (let i = 0; i < P.length; i += 3) {
+      const p = proj(P[i], P[i + 1], P[i + 2]);
+      ctx.fillRect(p[0] - 1, p[1] - 1, 2, 2);
+    }
+  }
+  const modeName = ["surface", "points", "both"][mode];
+  const nscan = P.length / 3;
   hud.textContent = `fastdem_tpu ${META.title}\\n` +
     `${rows}x${cols} cells @ ${res} m  z:[${zmin.toFixed(2)}, ` +
-    `${zmax.toFixed(2)}] m\\ndrag: orbit   wheel: zoom`;
+    `${zmax.toFixed(2)}] m` +
+    (nscan ? `   scan: ${nscan} pts` : "") +
+    `\\ndrag: orbit   wheel: zoom   m: view (${modeName})`;
 }
 resize();
 </script></body></html>
@@ -166,6 +207,36 @@ def encode_frame(
         "z_exaggeration": z_exaggeration,
     }
     return meta, q.astype("<u2").tobytes()
+
+
+def encode_points(
+    pts: np.ndarray, max_points: int = 40_000
+) -> tuple:
+    """Quantize a point set into the viewer's wire format.
+
+    ``pts`` are VIEWER-frame xyz (x = map-center-x minus world-x, etc. —
+    see LiveViewer.publish). Returns (meta_pts, payload): per-axis bounds
+    + point count, and little-endian u16 xyz triples. The live 3D point
+    view this feeds is the capability the reference wires through the
+    Rerun SDK bridge (lib/nanoPCL/include/nanopcl/bridge/rerun/).
+    """
+    pts = np.asarray(pts, dtype=np.float32).reshape(-1, 3)
+    if pts.shape[0] > max_points:
+        stride = pts.shape[0] // max_points + 1
+        pts = pts[::stride]
+    if pts.shape[0] == 0:
+        return {"n": 0, "lo": [0, 0, 0], "hi": [1, 1, 1]}, b""
+    lo = pts.min(axis=0)
+    hi = np.maximum(pts.max(axis=0), lo + 1e-6)
+    q = np.clip(
+        np.round((pts - lo) / (hi - lo) * 65535), 0, 65535
+    ).astype("<u2")
+    meta = {
+        "n": int(pts.shape[0]),
+        "lo": [float(v) for v in lo],
+        "hi": [float(v) for v in hi],
+    }
+    return meta, q.tobytes()
 
 
 def save_html(

@@ -34,8 +34,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
+import numpy as np
+
 from fastdem_tpu.grid.gridmap import layers as L
-from fastdem_tpu.io.html_viewer import _PAGE, encode_frame
+from fastdem_tpu.io.html_viewer import _PAGE, encode_frame, encode_points
 
 _LIVE_DATA_JS = """
 let seq = -1;
@@ -45,7 +47,7 @@ async function poll(){
     const f = await r.json();
     if (f.meta !== undefined && f.seq !== seq) {
       seq = f.seq;
-      decodeFrame(f.meta, f.z);
+      decodeFrame(f.meta, f.z, f.p);
       draw();
     }
   } catch (e) { /* server gone; keep trying */ }
@@ -78,24 +80,44 @@ class LiveViewer:
         self._thread: Optional[threading.Thread] = None
 
     # -- publishing ---------------------------------------------------------
-    def publish(self, geom, state, title: str = "elevation (live)") -> int:
+    def publish(
+        self, geom, state, title: str = "elevation (live)",
+        scan_xyz=None,
+    ) -> int:
         """Encode the current map into the latest frame; returns its seq.
 
-        Host-side work only (one quantization pass over the layer);
-        device arrays are fetched via np.asarray like every other sink."""
+        ``scan_xyz``: optional [N, 3] WORLD-frame points of the last scan
+        — streamed alongside the surface so the browser's point view
+        ('m' key) shows the incoming cloud, the inspection the reference
+        wires through its Rerun bridge. Host-side work only (one
+        quantization pass); device arrays are fetched via np.asarray like
+        every other sink."""
         meta, payload = encode_frame(
             geom, state, self.layer, title, self.max_cells,
             self.z_exaggeration,
         )
+        frame = {"meta": meta}
+        if scan_xyz is not None and len(scan_xyz):
+            pts = np.asarray(scan_xyz, dtype=np.float32)
+            pos = np.asarray(state.position, dtype=np.float32)
+            # Viewer frame: +x along rows from map center (row -> -x world
+            # convention, grid/geometry.py index_of), cell-center aligned.
+            view = np.stack(
+                [
+                    pos[0] - pts[:, 0] - geom.resolution / 2,
+                    pos[1] - pts[:, 1] - geom.resolution / 2,
+                    pts[:, 2],
+                ],
+                axis=1,
+            )
+            pmeta, ppayload = encode_points(view)
+            meta["pts"] = pmeta
+            frame["p"] = base64.b64encode(ppayload).decode("ascii")
         with self._lock:
             self._seq += 1
-            self._frame_json = json.dumps(
-                {
-                    "seq": self._seq,
-                    "meta": meta,
-                    "z": base64.b64encode(payload).decode("ascii"),
-                }
-            ).encode()
+            frame["seq"] = self._seq
+            frame["z"] = base64.b64encode(payload).decode("ascii")
+            self._frame_json = json.dumps(frame).encode()
             return self._seq
 
     def sink(self, geom):
@@ -107,7 +129,14 @@ class LiveViewer:
         def _cb(payload):
             lyr = payload.get("layers")
             if lyr and self.layer in lyr:
-                self.publish(geom, SimpleNamespace(layers=lyr))
+                self.publish(
+                    geom,
+                    SimpleNamespace(
+                        layers=lyr,
+                        position=payload.get("position", (0.0, 0.0)),
+                    ),
+                    scan_xyz=payload.get("scan_xyz"),
+                )
 
         return _cb
 

@@ -186,6 +186,8 @@ def _shardmap_step(
             args.append(color_packed)
         return jitted(*args)
 
+    step._jitted = jitted  # AOT/introspection handle (collective audits)
+    step.formulation = "shardmap_windowed"
     return step, inner
 
 
@@ -262,6 +264,8 @@ def build_sharded_integrate(
             args.append(color_packed)
         return jitted(*args)
 
+    step._jitted = jitted  # AOT/introspection handle (collective audits)
+    step.formulation = "gspmd_fullmap"
     return step, lambda s: shard_state(s, mesh)
 
 

@@ -385,6 +385,17 @@ class MappingDriver:
                     if not gm.is_internal(k)
                 },
             }
+            # Last preprocessed scan (world frame, downsampled) for the
+            # live viewer's 3D point view — the inspection the reference
+            # streams through its Rerun bridge (bridge/rerun/).
+            aux = self.mapper.last_aux
+            if aux is not None:
+                pts = np.asarray(aux.world_xyz)
+                m = np.asarray(aux.world_mask)
+                pts = pts[m]
+                if pts.shape[0] > 20_000:
+                    pts = pts[:: pts.shape[0] // 20_000 + 1]
+                payload["scan_xyz"] = pts
         self._publish("map", payload)
         # Wire-format topics (real message encodings; see runtime/wire.py)
         # are produced only when a sink subscribes — like the reference's
