@@ -54,19 +54,40 @@ def chain_time(step, state, scans, masks, tx, pairs=10, compile_mode="aot"):
 
     K = scans.shape[0]
     t0 = time.time()
-    # Compile path: "aot" compiles through run.lower(...).compile() and
-    # times the returned executables; "jit" times jit dispatch. The r4
-    # per-process bimodality (BENCH_NOTES "Round 4 final session") showed
-    # byte-identical StableHLO reading 40-70% apart between the two
-    # harnesses; tools/bench_aot_vs_jit.py is the one-process A/B. AOT is
-    # the default: under it every BASELINE config measured at target
-    # (COMPILE_DRAWS_r4: kalman 0.90-0.94, p2 0.78, rgbd 2.6-2.7).
+    # Compile path: "aot" compiles through run.lower(...).compile() with
+    # XLA-chosen INPUT LAYOUTS and stages the operands into them before
+    # timing; "jit" times plain jit dispatch (default layouts). The r4/r5
+    # "per-process bimodality" mechanism was exactly this: chains that
+    # BAKE the staged scans as constants (the draws harness) let XLA lay
+    # them out freely and measured p2 at 0.80 ms/scan, while the same
+    # program with default-layout parameters measured 1.09-1.13
+    # regardless of cache state or compile API (AOT_VS_JIT_r5.json,
+    # tools/bench_layout_ab.py). Layout.AUTO + device_put gives the
+    # parameter form the same freedom — and is what the production replay
+    # staging does, so it is the honest serving number.
+    def compile_with_auto_layout(*args):
+        try:
+            from jax.experimental.layout import Format, Layout
+
+            auto = jax.jit(run, in_shardings=Format(Layout.AUTO))
+            compiled = auto.lower(*args).compile()
+            staged = tuple(
+                jax.device_put(a, f)
+                for a, f in zip(args, compiled.input_formats[0])
+            )
+            return compiled, staged
+        except Exception as e:  # noqa: BLE001 — API drift: default layouts
+            print(f"[auto-layout unavailable: {type(e).__name__}: {e}]",
+                  file=sys.stderr)
+            compiled = run.lower(*args).compile()
+            return compiled, args
+
     if compile_mode == "aot":
-        aot1 = run.lower(state, scans, masks, tx).compile()
-        jax.block_until_ready(aot1(state, scans, masks, tx).layers)
+        aot1, staged1 = compile_with_auto_layout(state, scans, masks, tx)
+        jax.block_until_ready(aot1(*staged1).layers)
 
         def call_k():
-            return aot1(state, scans, masks, tx)
+            return aot1(*staged1)
 
     else:
         out = run(state, scans, masks, tx)
@@ -98,11 +119,13 @@ def chain_time(step, state, scans, masks, tx, pairs=10, compile_mode="aot"):
         masks2 = jnp.concatenate([masks, masks])
         tx2 = jnp.concatenate([tx, tx])
         if compile_mode == "aot":
-            aot2 = run.lower(state, scans2, masks2, tx2).compile()
-            jax.block_until_ready(aot2(state, scans2, masks2, tx2).layers)
+            aot2, staged2 = compile_with_auto_layout(
+                state, scans2, masks2, tx2
+            )
+            jax.block_until_ready(aot2(*staged2).layers)
 
             def call_2k():
-                return aot2(state, scans2, masks2, tx2)
+                return aot2(*staged2)
 
         else:
             out2 = run(state, scans2, masks2, tx2)
@@ -175,7 +198,14 @@ def fused_time(fused, state, scans, masks, tx, reps=3):
 
 
 def bench_pipeline(K, N, cfg_mut=None, spread=7.2, geom_m=15.0, res=0.1,
-                   scatter_mode="packed", fused=False, compile_mode="aot"):
+                   scatter_mode="rows", fused=False, compile_mode="aot"):
+    # scatter_mode default MUST match build_integrate's production default
+    # ("rows"). It was "packed" through r4 while the p2/rgbd/global config
+    # branches forgot to forward --scatter-mode — those rows on the record
+    # measured the SLOWER r1 rasterizer, which was the entire r4
+    # "per-process bimodality": packed p2 1.09-1.13 vs rows 0.67-0.80,
+    # packed rgbd 4.6 vs rows 2.6-2.7 ms/scan (same session;
+    # tools/bench_layout_ab.py closed the hunt).
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
@@ -571,6 +601,7 @@ def main():
             cfg.mapping.estimation_type = EstimationType.P2_QUANTILE
 
         ms2, c2 = bench_pipeline(args.scans, args.points, mut_p2,
+                                 scatter_mode=args.scatter_mode,
                                  compile_mode=args.compile_mode)
         log("p2 quantile + lidar + raycast", ms2, c2)
         emit_cfg("p2_lidar_raycast_15m", ms2)
@@ -591,6 +622,7 @@ def main():
         # compile_mode="aot".
         ms3, c3 = bench_pipeline(
             max(4, min(16, args.scans // 2)), 300000, mut_rgbd, spread=6.0,
+            scatter_mode=args.scatter_mode,
             compile_mode=args.compile_mode,
         )
         log("rgbd 300K pts local", ms3, c3)
@@ -660,7 +692,8 @@ def main():
 
         ms4, c4 = bench_pipeline(
             max(4, args.scans // 4), args.points, mut_global, spread=18.0,
-            geom_m=200.0, compile_mode=args.compile_mode,
+            geom_m=200.0, scatter_mode=args.scatter_mode,
+            compile_mode=args.compile_mode,
         )
         log("global 200m 4M cells + raycast", ms4, c4)
         emit_cfg("global_200m_raycast", ms4)
