@@ -279,11 +279,21 @@ def bench_postprocess(log, compile_mode="aot"):
             return jax.jit(run_pp)
 
         pp1, pp2 = make_pp(Kpp), make_pp(2 * Kpp)
-        jax.block_until_ready(pp1(elev))
-        jax.block_until_ready(pp2(elev))
+
+        def sync(fn):
+            # Force COMPLETION with a device->host fetch of one element of
+            # the final carry: block_until_ready on this relay can return
+            # before small programs drain (the r5 postprocess rows read a
+            # physically impossible 6 us/pass for a 4M-cell chain), and a
+            # device_get cannot lie. The fetch is one tiny extra dispatch
+            # per call — constant in K, cancelled by the difference.
+            return float(jax.device_get(fn(elev)[0, 0]))
+
+        sync(pp1)
+        sync(pp2)
         ms_pp, per_pair, med_k = two_length_diff_ms(
-            lambda: jax.block_until_ready(pp1(elev)),
-            lambda: jax.block_until_ready(pp2(elev)),
+            lambda: sync(pp1),
+            lambda: sync(pp2),
             Kpp, pairs=pairs,
         )
         raw = med_k / Kpp * 1e3  # dispatch-inflated upper bound
