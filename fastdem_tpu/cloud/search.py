@@ -53,6 +53,37 @@ _NEIGHBOR_OFFSETS = [
 _GRID_CROSSOVER = 32768
 
 
+def _masked_topk_small(d2: jnp.ndarray, k: int):
+    """Ascending top-k over a SMALL last axis by k iterative masked-argmin
+    passes. XLA:TPU's lax.top_k costs ~10 ns/element (it sorts); for the
+    candidate widths here (a few hundred lanes) k dense min/argmin/mask
+    passes are VPU-fused and effectively free (BENCH_NOTES 'dense
+    elementwise is free'), turning the grid-kNN reduction from the
+    dominant cost into noise. Ties resolve to the smallest lane index
+    (argmin convention), matching lax.top_k's stable order.
+
+    Returns (values f32[Q, k] ascending, lane indices i32[Q, k])."""
+    q, c = d2.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (q, c), 1)
+    vals, lanes = [], []
+    cur = d2
+    for _ in range(min(k, c)):
+        i = jnp.argmin(cur, axis=1).astype(jnp.int32)
+        vals.append(jnp.min(cur, axis=1))
+        lanes.append(i)
+        cur = jnp.where(iota == i[:, None], _INF, cur)
+    v = jnp.stack(vals, axis=1)
+    sel = jnp.stack(lanes, axis=1)
+    if k > c:
+        v = jnp.concatenate(
+            [v, jnp.full((q, k - c), _INF, dtype=v.dtype)], axis=1
+        )
+        sel = jnp.concatenate(
+            [sel, jnp.zeros((q, k - c), dtype=jnp.int32)], axis=1
+        )
+    return v, sel
+
+
 def knn_brute(
     xyz: jnp.ndarray,
     mask: jnp.ndarray,
@@ -403,8 +434,7 @@ class BucketGrid:
         d2 = jnp.where(valid, d2, _INF)
         if exclude_self_idx is not None:
             d2 = jnp.where(cand == exclude_self_idx[:, None], _INF, d2)
-        neg, pos = jax.lax.top_k(-d2, k)
-        d2k = -neg
+        d2k, pos = _masked_topk_small(d2, k)
         idx = jnp.take_along_axis(cand, pos, axis=1)
         idx = jnp.where(jnp.isfinite(d2k), idx, -1)
         return idx, jnp.sqrt(jnp.maximum(d2k, 0.0))
@@ -573,8 +603,7 @@ class DenseGrid:
             cat_d = jnp.concatenate(all_d2, axis=1)
             cat_p = jnp.concatenate(all_pos, axis=1)
             kk = min(k, cat_d.shape[1])
-            neg, sel = jax.lax.top_k(-cat_d, kk)
-            d2k = -neg
+            d2k, sel = _masked_topk_small(cat_d, kk)
             pos_sel = jnp.take_along_axis(cat_p, sel, axis=1)
             idx = jnp.where(
                 jnp.isfinite(d2k), order_pad[jnp.clip(pos_sel, 0, n)], -1

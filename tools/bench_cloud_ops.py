@@ -322,14 +322,13 @@ def main():
         )
         s, t = from_numpy(src), from_numpy(tgt.astype(np.float32))
         # LM terminates decisively (accept-only steps; plain GN oscillates
-        # at the strict eps on this corrugated scene); bucket-kNN prep for
-        # the distribution methods — exact any-N kNN's ~N^2 merges would
-        # otherwise dominate the align wall time at 50K+.
+        # at the strict eps on this corrugated scene); exact grid-kNN prep
+        # for the distribution methods — the brute any-N kNN's ~N^2 top-k
+        # merges would otherwise dominate the align wall time at 50K+.
         kw = dict(method=method, optimizer="lm")
         if method == "vgicp":
             kw["voxel_size"] = 1.0
-            kw["knn_method"] = "bucket"
-            kw["knn_bucket_size"] = 0.3
+            kw["knn_method"] = "grid"
         from fastdem_tpu.utils.benchtime import summarize
 
         res = registration.align(s, t, **kw)  # warm (compile)
@@ -342,13 +341,92 @@ def main():
         err = float(np.linalg.norm(
             np.asarray(res.T)[:3, 3] - np.asarray(T_true[:3, 3])
         ))
+        # Device-only solve time: chain TWO whole-align programs on
+        # pre-staged problems inside one jit (the second align's init is
+        # perturbed by the first's result, so it cannot be hoisted) and
+        # difference against the single-align program — cancels the
+        # per-dispatch host RPC exactly, like every pipeline row. This is
+        # the co-located number; the wall median above carries the
+        # remote-link dispatch floor (~10-40 ms/dispatch) plus prep.
+        dev_ms = None
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from fastdem_tpu.cloud.registration import (
+                _fused_driver_cached,
+            )
+            from fastdem_tpu.utils.benchtime import two_length_diff_ms
+
+            run = _fused_driver_cached(
+                "lm", "gicp" if method == "vgicp" else method, "none",
+                1.0, 1.0, "voxel" if method == "vgicp" else "nearest",
+                kw.get("voxel_size", 0.5), 50, 1e-4, 1e-4, 1e-3, 10.0,
+                10, 1e-6, 10,
+            )
+            from fastdem_tpu.cloud import normals as nrm
+            from fastdem_tpu.cloud.registration import (
+                segal_regularize,
+                voxel_distributions,
+            )
+
+            t_normals = jnp.zeros_like(t.xyz)
+            s_cov = jnp.zeros((s.capacity, 3, 3), jnp.float32)
+            t_cov = jnp.zeros((t.capacity, 3, 3), jnp.float32)
+            t_xyz, t_mask = t.xyz, t.mask
+            vox_keys = jnp.zeros(1, jnp.int32)
+            if method == "vgicp":
+                s2 = nrm.estimate_covariances(s, k=10, method="grid")
+                s_cov = s2.channels["covariance"]
+                vk, vm, vc, vv = voxel_distributions(t, kw["voxel_size"])
+                t_xyz, t_mask, vox_keys = vm, vv, vk
+                t_cov = jnp.where(
+                    vv[:, None, None], segal_regularize(vc, 1e-3),
+                    jnp.eye(3, dtype=jnp.float32),
+                )
+            a = (s.xyz, s.mask, t_xyz, t_mask, t_normals, s_cov, t_cov,
+                 vox_keys)
+            T0 = jnp.eye(4, dtype=jnp.float32)
+
+            @jax.jit
+            def once(T0):
+                T, *_ = run(T0, *a)
+                return T
+
+            @jax.jit
+            def twice(T0):
+                T, *_ = run(T0, *a)
+                # Second solve from a perturbed init derived from the
+                # first's result — a real dependent second align.
+                T2, *_ = run(T0.at[0, 3].add(T[0, 3] * 1e-3), *a)
+                return T + T2
+
+            jax.block_until_ready(once(T0))
+            jax.block_until_ready(twice(T0))
+            dev_ms, _, _ = two_length_diff_ms(
+                lambda: jax.block_until_ready(once(T0)),
+                lambda: jax.block_until_ready(twice(T0)),
+                1, pairs=5,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[{name}] device-time chain skipped: {e}",
+                  file=sys.stderr)
+        extra = (f", device-only solve {dev_ms:.1f} ms/align"
+                 if dev_ms else "")
         emit(name, st["median"],
              note=f"wall time/align (fused one-dispatch LM solve + neighbor prep), "
                   f"median of {st['n']} reps +-{st['ci95']:.1f} CI95, "
                   f"{res.iterations} iters, converged={bool(res.converged)}, "
-                  f"t_err={err:.4f} m"
+                  f"t_err={err:.4f} m{extra}"
              + (" ; reference row is KdTree ICP" if method == "vgicp"
                 else ""))
+        if dev_ms:
+            print("BENCHCFG " + json.dumps({
+                "config": f"{name}_device_only", "ms": round(dev_ms, 3),
+                "note": "two-align-chain difference: device solve time "
+                        "per align excl. host dispatch (co-located "
+                        "serving figure)",
+            }), flush=True)
 
     if want("reg"):
         reg(10000, "icp", "icp_10k")
