@@ -124,26 +124,53 @@ def _nearest(source_T: jnp.ndarray, target: jnp.ndarray, target_mask):
 
 def _gn_step_factory(method: str, kernel: str, kernel_scale: float,
                      max_dist: float, corr: str = "nearest",
-                     voxel_size: float = 0.5):
+                     voxel_size: float = 0.5,
+                     corr_dims: Optional[Tuple[int, int, int]] = None):
     """Builds the jitted single iteration (linearize + damped solve) and a
     jitted error-only evaluation for a method.
 
-    ``corr``: "nearest" (dense MXU 1-NN tile) or "voxel" (containing-voxel
-    searchsorted lookup against sorted voxel keys — the reference VGICP
-    correspondence, voxel_correspondence.hpp:55-70; no distance gate, the
-    voxel either contains the transformed point or there is no
-    correspondence)."""
+    ``corr``:
+      * "nearest"      dense MXU 1-NN tile;
+      * "voxel"        containing-voxel searchsorted lookup against sorted
+                       voxel keys (the reference VGICP correspondence,
+                       voxel_correspondence.hpp:55-70; no distance gate —
+                       the voxel either contains the transformed point or
+                       there is no correspondence);
+      * "voxel_dense"  same containing-voxel semantics against a DENSE
+                       [ncells] table over the lattice-aligned bbox grid
+                       (``corr_dims`` static, origin passed through the
+                       vox_aux arg): the voxel id is ARITHMETIC and the
+                       lookup is one row gather per field — the
+                       searchsorted form costs ~34 serialized gathers per
+                       point per pass (binary search), which dominated
+                       the whole VGICP solve on TPU (r5,
+                       BENCH_OPS_r5: 470 ms device at 100K).
+    """
 
-    def _correspond(src, s_mask, t_xyz, t_mask, vox_keys):
+    def _correspond(src, s_mask, t_xyz, t_mask, vox_aux):
+        if corr == "voxel_dense":
+            nx, ny, nz = corr_dims
+            origin = vox_aux  # f32[3], lattice-aligned
+            c = jnp.floor((src - origin[None, :]) / voxel_size).astype(
+                jnp.int32
+            )
+            inb = jnp.all((c >= 0) & (c < jnp.asarray(
+                [nx, ny, nz], dtype=jnp.int32)[None, :]), axis=1)
+            cc = jnp.clip(
+                c, 0, jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32)
+            )
+            key = (cc[:, 0] * ny + cc[:, 1]) * nz + cc[:, 2]
+            valid = s_mask & inb & t_mask[key]
+            return key, valid
         if corr == "voxel":
             from fastdem_tpu.cloud.filters import voxel_coords, voxel_key
 
             key = voxel_key(voxel_coords(src, voxel_size))
-            n = vox_keys.shape[0]
+            n = vox_aux.shape[0]
             pos = jnp.clip(
-                jnp.searchsorted(vox_keys, key), 0, n - 1
+                jnp.searchsorted(vox_aux, key), 0, n - 1
             ).astype(jnp.int32)
-            match = vox_keys[pos] == key
+            match = vox_aux[pos] == key
             valid = s_mask & match & t_mask[pos]
             return pos, valid
         idx, d2 = _nearest(src, t_xyz, t_mask)
@@ -392,14 +419,15 @@ def _build_fused_driver(
 
 @functools.lru_cache(maxsize=64)
 def _step_fns_cached(method, kernel, kernel_scale, max_dist, corr,
-                     voxel_size):
+                     voxel_size, corr_dims=None):
     """Cache the per-configuration step functions AND their jitted forms:
     building fresh jax.jit wrappers on every align() call defeats jit's
     function-identity cache, re-tracing (and without a persistent cache,
     recompiling) each call — fatal for odometry loops that align every
     frame."""
     raw = _gn_step_factory(method, kernel, kernel_scale, max_dist,
-                           corr=corr, voxel_size=voxel_size)
+                           corr=corr, voxel_size=voxel_size,
+                           corr_dims=corr_dims)
     return raw, tuple(jax.jit(f) for f in raw)
 
 
@@ -408,9 +436,9 @@ def _fused_driver_cached(optimizer, method, kernel, kernel_scale, max_dist,
                          corr, voxel_size, max_iterations, translation_eps,
                          rotation_eps, init_lambda, lambda_factor,
                          max_inner_iterations, relative_error_eps,
-                         min_correspondences):
+                         min_correspondences, corr_dims=None):
     raw, _ = _step_fns_cached(method, kernel, kernel_scale, max_dist, corr,
-                              voxel_size)
+                              voxel_size, corr_dims)
     return _build_fused_driver(
         optimizer, *raw, max_iterations, translation_eps, rotation_eps,
         init_lambda, lambda_factor, max_inner_iterations,
@@ -480,6 +508,81 @@ def voxel_distributions(
     return head_keys_sorted, mean, cov, valid_voxel
 
 
+def voxel_distribution_table(
+    cloud: PointCloud, voxel_size: float, max_cells: int = 4_000_000
+):
+    """DENSE per-voxel Gaussian table for VGICP targets (r5).
+
+    Host-computed lattice-ALIGNED bbox geometry (origin = a multiple of
+    ``voxel_size``, so the partition is identical to the global voxel
+    lattice the sorted form uses), then one segment-sum pass builds mean
+    and covariance per cell — no sort, no searchsorted: correspondence
+    becomes arithmetic cell ids + one row gather per field per iteration
+    (vs ~34 serialized binary-search gathers per point, which dominated
+    the VGICP solve on TPU — BENCH_OPS_r5).
+
+    Returns (origin np.f32[3], dims (nx,ny,nz), mean f32[ncells,3],
+    cov f32[ncells,3,3], valid bool[ncells]).
+    """
+    import numpy as np
+
+    pts = np.asarray(cloud.xyz)[np.asarray(cloud.mask)]
+    if pts.shape[0] == 0:
+        pts = np.zeros((1, 3), np.float32)
+    b = float(voxel_size)
+    lo = np.floor(pts.min(axis=0) / b) - 1
+    hi = np.floor(pts.max(axis=0) / b) + 1
+    while True:
+        dims = (hi - lo + 1).astype(np.int64)
+        if int(dims.prod()) <= max_cells:
+            break
+        b *= 1.5
+        lo = np.floor(pts.min(axis=0) / b) - 1
+        hi = np.floor(pts.max(axis=0) / b) + 1
+    origin = (lo * b).astype(np.float32)
+    dims = tuple(int(d) for d in dims)
+    nx, ny, nz = dims
+    ncells = nx * ny * nz
+
+    xyz, mask = cloud.xyz, cloud.mask
+    c = jnp.floor((xyz - jnp.asarray(origin)[None, :]) / b).astype(
+        jnp.int32
+    )
+    c = jnp.clip(c, 0, jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32))
+    key = (c[:, 0] * ny + c[:, 1]) * nz + c[:, 2]
+    key = jnp.where(mask, key, ncells)
+    w = mask.astype(jnp.float32)
+    cnt = jax.ops.segment_sum(w, key, num_segments=ncells + 1)[:ncells]
+    # Pivot at the voxel corner for covariance stability (local extents).
+    piv = c.astype(jnp.float32) * b + jnp.asarray(origin)[None, :]
+    d = (xyz - piv) * w[:, None]
+    s1 = jax.ops.segment_sum(d, key, num_segments=ncells + 1)[:ncells]
+    s2 = jax.ops.segment_sum(
+        jnp.einsum("ni,nj->nij", d, d), key, num_segments=ncells + 1
+    )[:ncells]
+    cnt_safe = jnp.maximum(cnt, 1.0)
+    mu = s1 / cnt_safe[:, None]
+    cov = s2 / cnt_safe[:, None, None] - jnp.einsum(
+        "ni,nj->nij", mu, mu
+    )
+    # Back to world means; sparse voxels isotropic like the sorted form.
+    grid_pos = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(nx), jnp.arange(ny), jnp.arange(nz),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(ncells, 3).astype(jnp.float32) * b + jnp.asarray(origin)
+    mean = mu + grid_pos
+    eye = jnp.eye(3, dtype=jnp.float32)
+    cov = jnp.where(
+        (cnt >= 3.0)[:, None, None], cov + 1e-6 * eye, eye * b * b
+    )
+    valid = cnt >= 1.0
+    mean = jnp.where(valid[:, None], mean, 0.0)
+    return origin, dims, mean, cov, valid, b
+
+
 def align(
     source: PointCloud,
     target: PointCloud,
@@ -503,6 +606,7 @@ def align(
     driver: str = "fused",
     knn_method: str = "auto",
     knn_bucket_size: Optional[float] = None,
+    correspondence: str = "dense",
 ) -> RegistrationResult:
     """Align source to target (nanopcl::registration::align equivalent).
 
@@ -566,6 +670,7 @@ def align(
         s_cov = source.channels["covariance"]
         t_cov = target.channels["covariance"]
     corr = "nearest"
+    corr_dims = None
     vox_keys = jnp.zeros(1, dtype=jnp.int32)
     if method == "vgicp":
         if "covariance" not in source.channels:
@@ -574,18 +679,44 @@ def align(
                 bucket_size=knn_bucket_size,
             )
         s_cov = source.channels["covariance"]
-        vkeys, vmean, vcov, vvalid = voxel_distributions(target, voxel_size)
-        # Containing-voxel correspondence against the distribution table;
-        # covariances Segal-regularized like lookupRegularized.
-        t_xyz = vmean
-        t_mask = vvalid
-        t_cov = jnp.where(
-            vvalid[:, None, None],
-            segal_regularize(vcov, covariance_epsilon),
-            jnp.eye(3, dtype=jnp.float32),
-        )
-        vox_keys = vkeys
-        corr = "voxel"
+        if correspondence == "dense":
+            # Dense lattice-aligned table: arithmetic containing-voxel
+            # ids, one row gather per field per iteration (r5; the
+            # sorted+searchsorted form pays ~34 serialized gathers per
+            # point per pass on TPU).
+            origin_v, dims_v, vmean, vcov, vvalid, b_eff = (
+                voxel_distribution_table(target, voxel_size)
+            )
+            t_xyz = vmean
+            t_mask = vvalid
+            t_cov = jnp.where(
+                vvalid[:, None, None],
+                segal_regularize(vcov, covariance_epsilon),
+                jnp.eye(3, dtype=jnp.float32),
+            )
+            vox_keys = jnp.asarray(origin_v)
+            corr = "voxel_dense"
+            corr_dims = dims_v
+            voxel_size = b_eff
+        elif correspondence == "sorted":
+            vkeys, vmean, vcov, vvalid = voxel_distributions(
+                target, voxel_size
+            )
+            # Containing-voxel correspondence against the distribution
+            # table; covariances Segal-regularized like lookupRegularized.
+            t_xyz = vmean
+            t_mask = vvalid
+            t_cov = jnp.where(
+                vvalid[:, None, None],
+                segal_regularize(vcov, covariance_epsilon),
+                jnp.eye(3, dtype=jnp.float32),
+            )
+            vox_keys = vkeys
+            corr = "voxel"
+        else:
+            raise ValueError(
+                f"unknown correspondence: {correspondence!r}"
+            )
         method = "gicp"
 
     args = lambda: (  # noqa: E731
@@ -599,7 +730,7 @@ def align(
             max_correspondence_distance, corr, voxel_size,
             max_iterations, translation_eps, rotation_eps,
             init_lambda, lambda_factor, max_inner_iterations,
-            relative_error_eps, min_correspondences,
+            relative_error_eps, min_correspondences, corr_dims,
         )
         T, it_j, conv_j, err_j, n_corr_j = run(T, *args())
         return RegistrationResult(
@@ -614,7 +745,7 @@ def align(
 
     _, (step, err_fn, linearize_fn, solve_retract) = _step_fns_cached(
         method, kernel, kernel_scale, max_correspondence_distance, corr,
-        voxel_size,
+        voxel_size, corr_dims,
     )
 
     def _small(delta):

@@ -529,6 +529,41 @@ class TestFusedDriver:
             )
 
 
+def test_vgicp_dense_matches_sorted_correspondence():
+    """r5 dense containing-voxel table (arithmetic ids, row gathers) must
+    produce the same VGICP solution as the sorted+searchsorted form —
+    both partition by the SAME lattice-aligned voxel grid."""
+    from fastdem_tpu.cloud import registration as reg
+    from fastdem_tpu.cloud.transform import from_rpy
+
+    rng = np.random.default_rng(5)
+    src = rng.uniform(-5, 5, (4000, 3)).astype(np.float32)
+    src[:, 2] = 0.4 * np.sin(1.3 * src[:, 0]) + 0.3 * np.cos(
+        1.7 * src[:, 1]
+    )
+    T = np.asarray(from_rpy(0.02, -0.01, 0.06, t=(0.25, -0.15, 0.08)))
+    tgt = ((T[:3, :3] @ src.T).T + T[:3, 3]).astype(np.float32)
+    kw = dict(method="vgicp", optimizer="lm", voxel_size=0.8)
+    r_dense = reg.align(
+        pc.from_numpy(src), pc.from_numpy(tgt),
+        correspondence="dense", **kw,
+    )
+    r_sorted = reg.align(
+        pc.from_numpy(src), pc.from_numpy(tgt),
+        correspondence="sorted", **kw,
+    )
+    assert r_dense.converged and r_sorted.converged
+    np.testing.assert_allclose(r_dense.T, r_sorted.T, atol=2e-4)
+    assert (
+        abs(r_dense.num_correspondences - r_sorted.num_correspondences)
+        <= 2
+    )
+    assert np.linalg.norm(r_dense.T[:3, 3] - T[:3, 3]) < 0.08
+    with pytest.raises(ValueError, match="correspondence"):
+        reg.align(pc.from_numpy(src), pc.from_numpy(tgt),
+                  method="vgicp", correspondence="nope")
+
+
 def test_align_bucket_knn_prep():
     """GICP with voxel-bucket covariance prep (knn_method="bucket") still
     recovers the motion — the large-N fast path for align's neighbor
