@@ -358,16 +358,10 @@ def main():
             )
             from fastdem_tpu.utils.benchtime import two_length_diff_ms
 
-            run = _fused_driver_cached(
-                "lm", "gicp" if method == "vgicp" else method, "none",
-                1.0, 1.0, "voxel" if method == "vgicp" else "nearest",
-                kw.get("voxel_size", 0.5), 50, 1e-4, 1e-4, 1e-3, 10.0,
-                10, 1e-6, 10,
-            )
             from fastdem_tpu.cloud import normals as nrm
             from fastdem_tpu.cloud.registration import (
                 segal_regularize,
-                voxel_distributions,
+                voxel_distribution_table,
             )
 
             t_normals = jnp.zeros_like(t.xyz)
@@ -375,15 +369,26 @@ def main():
             t_cov = jnp.zeros((t.capacity, 3, 3), jnp.float32)
             t_xyz, t_mask = t.xyz, t.mask
             vox_keys = jnp.zeros(1, jnp.int32)
+            corr, corr_dims, vsize = "nearest", None, 0.5
             if method == "vgicp":
                 s2 = nrm.estimate_covariances(s, k=10, method="grid")
                 s_cov = s2.channels["covariance"]
-                vk, vm, vc, vv = voxel_distributions(t, kw["voxel_size"])
-                t_xyz, t_mask, vox_keys = vm, vv, vk
+                # Mirror align()'s DENSE default correspondence.
+                ov, dv, vm, vc, vv, vsize = voxel_distribution_table(
+                    t, kw["voxel_size"]
+                )
+                t_xyz, t_mask = vm, vv
+                vox_keys = jnp.asarray(ov)
+                corr, corr_dims = "voxel_dense", dv
                 t_cov = jnp.where(
                     vv[:, None, None], segal_regularize(vc, 1e-3),
                     jnp.eye(3, dtype=jnp.float32),
                 )
+            run = _fused_driver_cached(
+                "lm", "gicp" if method == "vgicp" else method, "none",
+                1.0, 1.0, corr, vsize, 50, 1e-4, 1e-4, 1e-3, 10.0,
+                10, 1e-6, 10, corr_dims,
+            )
             a = (s.xyz, s.mask, t_xyz, t_mask, t_normals, s_cov, t_cov,
                  vox_keys)
             T0 = jnp.eye(4, dtype=jnp.float32)
@@ -421,12 +426,14 @@ def main():
              + (" ; reference row is KdTree ICP" if method == "vgicp"
                 else ""))
         if dev_ms:
-            print("BENCHCFG " + json.dumps({
+            row = {
                 "config": f"{name}_device_only", "ms": round(dev_ms, 3),
                 "note": "two-align-chain difference: device solve time "
                         "per align excl. host dispatch (co-located "
                         "serving figure)",
-            }), flush=True)
+            }
+            rows.append(row)
+            print("BENCHCFG " + json.dumps(row), flush=True)
 
     if want("reg"):
         reg(10000, "icp", "icp_10k")
