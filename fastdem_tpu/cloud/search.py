@@ -951,6 +951,8 @@ def knn_grid(
     bucket_size, dims, origin = _grid_geometry(
         xyz, mask, bucket_size, 4_000_000
     )
+    ncells = dims[0] * dims[1] * dims[2]
+    m = 0
     if queries is None and exclude_self:
         # Self-kNN hot path: the dense-table formulation (zero per-query
         # gathers). Per-bucket capacity m from the host-side occupancy
@@ -962,7 +964,12 @@ def knn_grid(
         keys = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
         _, cnts = np.unique(keys, return_counts=True)
         p995 = float(np.percentile(cnts, 99.5)) if cnts.size else 8.0
-        m = int(min(128, max(8, -(-int(p995) // 8) * 8)))
+        m = int(min(64, max(8, -(-int(p995) // 8) * 8)))
+    # The dense table is [ncells, m]: wide bounding boxes (outliers) with
+    # small buckets can blow ncells up to max_cells, and a multi-GB table
+    # helps nobody — bound the footprint and fall back to the per-query
+    # pass (still exact; starts[] is only 4 B/cell).
+    if m and ncells * m <= 16_000_000:
         fn = _grid_table_pass(dims, bucket_size, k, m, 4_000_000)
         idx, dist, exact = fn(xyz, mask, jnp.asarray(origin))
     else:
@@ -1005,6 +1012,11 @@ def knn(
     method: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Self-kNN over the cloud (each point's k nearest other points).
+
+    Results for MASKED rows are undefined — the grid path returns
+    idx=-1/dist=inf for them (padded sentinel points must not cost
+    search work), the brute path happens to fill them; no consumer reads
+    masked rows (SOR/normals re-mask downstream).
 
     Every method here is EXACT except "bucket":
 

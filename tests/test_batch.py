@@ -361,6 +361,12 @@ class TestExactSearchAnyN:
         m = np.asarray(mask)
         qs = rng.integers(0, n, 64)
         for q in qs:
+            if not m[q]:
+                # Masked self-queries are UNDEFINED (r5 contract: the
+                # dense-table grid path returns idx=-1/dist=inf for them
+                # — padded sentinel points must not cost brute work; no
+                # consumer reads masked rows, filters.py SOR masks them).
+                continue
             d2 = np.sum((xyz - xyz[q]) ** 2, axis=1)
             d2[~m] = np.inf
             d2[q] = np.inf
