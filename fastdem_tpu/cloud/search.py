@@ -270,6 +270,7 @@ def radius_search_brute(
     exclude_self: bool = True,
     chunk: int = 256,
     data_chunk: int = 8192,
+    self_indices: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact radius neighbor-SET query at any N (VERDICT r2 #7).
 
@@ -344,13 +345,16 @@ def radius_search_brute(
     nq = q.shape[0]
     pad = (-nq) % chunk
     qp = jnp.concatenate([q, jnp.full((pad, 3), 1e9, dtype=q.dtype)])
-    self_ids = (
-        jnp.concatenate(
+    if self_indices is not None:
+        self_ids = jnp.concatenate(
+            [self_indices.astype(jnp.int32), jnp.full(pad, -1, jnp.int32)]
+        )
+    elif queries is None:
+        self_ids = jnp.concatenate(
             [jnp.arange(nq, dtype=jnp.int32), jnp.full(pad, -1, jnp.int32)]
         )
-        if queries is None
-        else jnp.full(nq + pad, -1, jnp.int32)
-    )
+    else:
+        self_ids = jnp.full(nq + pad, -1, jnp.int32)
     d, idx, cnt = jax.lax.map(
         one_chunk, (qp.reshape(-1, chunk, 3), self_ids.reshape(-1, chunk))
     )
@@ -727,6 +731,174 @@ class DenseGrid:
             out_e[:n] | jnp.logical_not(self.mask),
         )
 
+    def radius_table(
+        self,
+        radius: float,
+        max_neighbors: int,
+        m: int = 32,
+        cell_chunk: int = 256,
+    ):
+        """Exact self radius search via the dense bucket table.
+
+        Requires ``radius <= bucket_size`` (build the grid with
+        bucket_size=radius and the 27-neighborhood provably contains the
+        whole ball — no kth-distance condition needed, unlike kNN). The
+        certificate is overflow-only: a row is exact unless one of its
+        27 buckets held more than ``m`` points.
+
+        Returns (idx i32[N, max_neighbors] distance-sorted ascending,
+        dist f32[N, max_neighbors], count i32[N] EXACT in-radius count
+        capped only by overflow, exact bool[N]) in original point order;
+        self excluded. Masked rows: empty + exact=True.
+        """
+        if radius > self.bucket_size + 1e-6:
+            raise ValueError(
+                f"radius_table needs radius <= bucket_size "
+                f"({radius} > {self.bucket_size})"
+            )
+        n = self.xyz.shape[0]
+        nx, ny, nz = self.dims
+        ncells = self.ncells
+        r2 = jnp.float32(radius * radius)
+
+        key_s = self.sorted_key
+        valid_s = key_s < ncells
+        counts = self.starts[1:] - self.starts[:-1]
+        slot = jnp.arange(n, dtype=jnp.int32) - self.starts[
+            jnp.minimum(key_s, ncells - 1)
+        ]
+        ok_slot = valid_s & (slot < m)
+        flat = jnp.where(
+            ok_slot, jnp.minimum(key_s, ncells - 1) * m + slot,
+            ncells * m,
+        )
+        tbl = (
+            jnp.full((ncells * m + 1, 3), 1e9, jnp.float32)
+            .at[flat]
+            .set(jnp.where(ok_slot[:, None], self.sorted_xyz, 1e9))[:-1]
+            .reshape(ncells, m, 3)
+        )
+        ids = (
+            jnp.full((ncells * m + 1,), -1, jnp.int32)
+            .at[flat]
+            .set(jnp.where(ok_slot, self.order, -1))[:-1]
+            .reshape(ncells, m)
+        )
+        pad_cells = nz * ny + nz + 1
+        tblp = jnp.concatenate([
+            jnp.full((pad_cells, m, 3), 1e9, jnp.float32),
+            tbl,
+            jnp.full((pad_cells, m, 3), 1e9, jnp.float32),
+        ])
+        idsp = jnp.concatenate([
+            jnp.full((pad_cells, m), -1, jnp.int32),
+            ids,
+            jnp.full((pad_cells, m), -1, jnp.int32),
+        ])
+        cntp = jnp.concatenate([
+            jnp.zeros(pad_cells, jnp.int32),
+            counts,
+            jnp.zeros(pad_cells, jnp.int32),
+        ])
+        offsets = [
+            (dx * ny + dy) * nz + dz
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+        nc_pad = (-ncells) % cell_chunk
+        n_chunks = (ncells + nc_pad) // cell_chunk
+        cap = min(max_neighbors, 27 * m)
+
+        def one_chunk(c0):
+            q = jax.lax.dynamic_slice(
+                tblp, (pad_cells + c0, 0, 0), (cell_chunk, m, 3)
+            )
+            all_d2, all_id = [], []
+            overflow = jnp.zeros((cell_chunk,), bool)
+            for off in offsets:
+                cand = jax.lax.dynamic_slice(
+                    tblp, (pad_cells + c0 + off, 0, 0),
+                    (cell_chunk, m, 3),
+                )
+                cid = jax.lax.dynamic_slice(
+                    idsp, (pad_cells + c0 + off, 0), (cell_chunk, m)
+                )
+                ccnt = jax.lax.dynamic_slice(
+                    cntp, (pad_cells + c0 + off,), (cell_chunk,)
+                )
+                overflow = overflow | (ccnt > m)
+                diff = q[:, :, None, :] - cand[:, None, :, :]
+                d2 = jnp.sum(diff * diff, axis=-1)
+                d2 = jnp.where((cid >= 0)[:, None, :], d2, _INF)
+                if off == 0:
+                    d2 = jnp.where(
+                        jnp.eye(m, dtype=bool)[None], _INF, d2
+                    )
+                d2 = jnp.where(d2 <= r2, d2, _INF)
+                all_d2.append(d2)
+                all_id.append(
+                    jnp.broadcast_to(cid[:, None, :], d2.shape)
+                )
+            cat_d = jnp.concatenate(all_d2, axis=2)
+            cat_i = jnp.concatenate(all_id, axis=2)
+            count = jnp.sum(jnp.isfinite(cat_d), axis=2).astype(
+                jnp.int32
+            )
+            iota = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 2)
+            ds, sel_ids = [], []
+            cur = cat_d
+            for _ in range(cap):
+                amin = jnp.argmin(cur, axis=2).astype(jnp.int32)
+                hot = iota == amin[..., None]
+                ds.append(jnp.min(cur, axis=2))
+                sel_ids.append(jnp.sum(jnp.where(hot, cat_i, 0), axis=2))
+                cur = jnp.where(hot, _INF, cur)
+            d2k = jnp.stack(ds, axis=2)
+            idk = jnp.stack(sel_ids, axis=2)
+            idk = jnp.where(jnp.isfinite(d2k), idk, -1)
+            exact = jnp.logical_not(overflow)
+            return d2k, idk, count, exact
+
+        c0s = jnp.arange(n_chunks, dtype=jnp.int32) * cell_chunk
+        d2k, idk, count, exact = jax.lax.map(one_chunk, c0s)
+        d2k = d2k.reshape(-1, m, cap)[:ncells]
+        idk = idk.reshape(-1, m, cap)[:ncells]
+        count = count.reshape(-1, m)[:ncells]
+        exact = exact.reshape(-1)[:ncells]
+
+        out_d = jnp.full((n + 1, cap), _INF, jnp.float32)
+        out_i = jnp.full((n + 1, cap), -1, jnp.int32)
+        out_c = jnp.zeros((n + 1,), jnp.int32)
+        out_e = jnp.ones((n + 1,), bool)
+        sel = jnp.where(ok_slot, flat, ncells * m - 1)
+        orig = jnp.where(valid_s, self.order, n)
+        d_flat = d2k.reshape(ncells * m, cap)
+        i_flat = idk.reshape(ncells * m, cap)
+        c_flat = count.reshape(ncells * m)
+        e_cell = exact[jnp.minimum(key_s, ncells - 1)]
+        out_d = out_d.at[orig].set(
+            jnp.where(ok_slot[:, None], d_flat[sel], _INF)
+        )
+        out_i = out_i.at[orig].set(
+            jnp.where(ok_slot[:, None], i_flat[sel], -1)
+        )
+        out_c = out_c.at[orig].set(
+            jnp.where(ok_slot, c_flat[sel], 0)
+        )
+        out_e = out_e.at[orig].set(ok_slot & e_cell)
+        d = jnp.sqrt(jnp.maximum(out_d[:n], 0.0))
+        idx, cnt, ex = out_i[:n], out_c[:n], out_e[:n]
+        if cap < max_neighbors:
+            padw = max_neighbors - cap
+            d = jnp.concatenate(
+                [d, jnp.full((n, padw), _INF)], axis=1
+            )
+            idx = jnp.concatenate(
+                [idx, jnp.full((n, padw), -1, jnp.int32)], axis=1
+            )
+        return idx, d, cnt, ex | jnp.logical_not(self.mask)
+
     def knn(
         self,
         queries: jnp.ndarray,
@@ -1002,6 +1174,90 @@ def knn_grid(
     idx = idx.at[jnp.asarray(fail)].set(bi[:n_fail])
     dist = dist.at[jnp.asarray(fail)].set(bd[:n_fail])
     return idx, dist
+
+
+def _grid_radius_pass(dims, bucket_size, radius, max_neighbors, m,
+                      max_cells):
+    key = ("radius", dims, round(bucket_size, 9), round(radius, 9),
+           max_neighbors, m)
+    fn = _GRID_JIT_CACHE.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(xyz, mask, origin):
+            grid = DenseGrid(
+                xyz, mask, bucket_size, max_cells=max_cells, dims=dims,
+                origin=origin,
+            )
+            return grid.radius_table(radius, max_neighbors, m=m)
+
+        _GRID_JIT_CACHE[key] = fn
+    return fn
+
+
+def radius_search_grid(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+    max_neighbors: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """EXACT self radius search at scale: dense bucket table with
+    bucket_size = radius (the 27-neighborhood provably contains the whole
+    ball), overflow-only certificate, brute fallback for failing rows.
+    Host-driven like knn_grid (not traceable under jit). Masked rows
+    return empty results (same contract as knn).
+
+    Returns (idx i32[N, max_neighbors] distance-sorted, dist f32[N,
+    max_neighbors], count i32[N] exact in-radius count).
+    """
+    import numpy as np
+
+    from fastdem_tpu.cloud.pointcloud import ladder_capacity
+
+    n = xyz.shape[0]
+    bucket_size, dims, origin = _grid_geometry(
+        xyz, mask, float(radius), 4_000_000
+    )
+    ncells = dims[0] * dims[1] * dims[2]
+    if bucket_size > radius + 1e-6:
+        m = 10 ** 9  # bbox forced bigger buckets: table invalid
+    else:
+        c = np.floor(
+            (np.asarray(xyz)[np.asarray(mask)] - origin) / bucket_size
+        ).astype(np.int64)
+        keys = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+        _, cnts = np.unique(keys, return_counts=True)
+        p995 = float(np.percentile(cnts, 99.5)) if cnts.size else 8.0
+        m = int(min(64, max(8, -(-int(p995) // 8) * 8)))
+    if ncells * m <= 16_000_000:
+        fn = _grid_radius_pass(
+            dims, bucket_size, float(radius), max_neighbors, m, 4_000_000
+        )
+        idx, dist, cnt, exact = fn(xyz, mask, jnp.asarray(origin))
+        exact_np = np.asarray(exact)
+    else:
+        idx = jnp.full((n, max_neighbors), -1, jnp.int32)
+        dist = jnp.full((n, max_neighbors), _INF)
+        cnt = jnp.zeros((n,), jnp.int32)
+        exact_np = ~np.asarray(mask)  # only masked rows are "done"
+    n_fail = int((~exact_np).sum())
+    if n_fail == 0:
+        return idx, dist, cnt
+    fail = np.nonzero(~exact_np)[0]
+    capn = min(ladder_capacity(n_fail), n)
+    fail_pad = np.concatenate(
+        [fail, np.full(capn - n_fail, fail[0], dtype=fail.dtype)]
+    )
+    fq = jnp.asarray(np.asarray(xyz)[fail_pad])
+    bi, bd, bc = radius_search_brute(
+        xyz, mask, float(radius), max_neighbors, queries=fq,
+        exclude_self=True,
+        self_indices=jnp.asarray(fail_pad.astype(np.int32)),
+    )
+    idx = idx.at[jnp.asarray(fail)].set(bi[:n_fail])
+    dist = dist.at[jnp.asarray(fail)].set(bd[:n_fail])
+    cnt = cnt.at[jnp.asarray(fail)].set(bc[:n_fail])
+    return idx, dist, cnt
 
 
 def knn(

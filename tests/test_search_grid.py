@@ -91,6 +91,35 @@ class TestKnnGridExact:
         bi, bd = search.knn_brute(xyz, mask, 4)
         np.testing.assert_array_equal(np.asarray(gd), np.asarray(bd))
 
+    def test_radius_grid_matches_brute(self, scene):
+        """Exact self radius search at scale via the dense table
+        (bucket = radius -> 27-neighborhood covers the ball; overflow-
+        only certificate + brute fallback)."""
+        xyzj, maskj, xyz, mask = scene
+        r, cap = 0.45, 12
+        gi, gd, gc = search.radius_search_grid(xyzj, maskj, r, cap)
+        bi, bd, bc = search.radius_search_brute(xyzj, maskj, r, cap)
+        gi, gd, gc = map(np.asarray, (gi, gd, gc))
+        bi, bd, bc = map(np.asarray, (bi, bd, bc))
+        # Exact counts everywhere (the set is capped, the count is not).
+        np.testing.assert_array_equal(gc[mask], bc[mask])
+        np.testing.assert_array_equal(gd[mask], bd[mask])
+        np.testing.assert_array_equal(gi[mask], bi[mask])
+
+    def test_radius_grid_overflow_fallback(self):
+        # A dense clump overflows its bucket -> fallback rows still exact.
+        rng = np.random.default_rng(2)
+        pts = np.concatenate([
+            rng.normal(0, 0.02, (300, 3)),  # clump: >64 per bucket
+            rng.uniform(-4, 4, (2000, 3)),
+        ]).astype(np.float32)
+        xyz = jnp.asarray(pts)
+        mask = jnp.ones(pts.shape[0], bool)
+        gi, gd, gc = search.radius_search_grid(xyz, mask, 0.5, 16)
+        bi, bd, bc = search.radius_search_brute(xyz, mask, 0.5, 16)
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(bc))
+        np.testing.assert_array_equal(np.asarray(gd), np.asarray(bd))
+
     def test_normals_grid_method(self, scene):
         from fastdem_tpu.cloud import normals
         from fastdem_tpu.cloud.pointcloud import from_numpy
