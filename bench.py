@@ -361,7 +361,13 @@ def canary_check(cache_dir="/tmp/fastdem_xla_cache"):
         if os.path.isdir(cache_dir)
         else []
     )
-    if stored == fp and fp != "unavailable":
+    if fp == "unavailable":
+        # Backend exposes no executable text: the check is blind — keep
+        # the entries rather than wiping a possibly-good cache every run.
+        print(f"CANARY unavailable ({len(entries)} entries kept)",
+              flush=True)
+        return
+    if stored == fp:
         print(f"CANARY ok {fp} ({len(entries)} entries kept)", flush=True)
         return
     if entries:

@@ -548,6 +548,77 @@ class DenseGrid:
         nx, ny, nz = self.dims
         return (c[..., 0] * ny + c[..., 1]) * nz + c[..., 2]
 
+    def _neighbor_tables(self, m: int, cell_chunk: int):
+        """Shared dense-table construction for knn_table/radius_table.
+
+        Scatters the sorted points into [ncells, m] xyz/id tables plus a
+        per-cell count vector, padded so that EVERY chunked neighbor
+        slice stays in bounds: chunk starts run to ncells + nc_pad -
+        cell_chunk (cell_chunk-aligned sweep) and the largest positive
+        neighbor offset is pad_cells, so the HIGH side needs pad_cells +
+        nc_pad rows — padding only pad_cells let the final chunk's
+        positive-offset slices clamp and fetch WRONG cells whenever
+        ncells % cell_chunk != 0, silently certified exact (r5 review
+        finding; regression-tested on elongated grids).
+
+        Returns (ok_slot, flat, valid_s, tblp, idsp, cntp, offsets,
+        pad_lo, nc_pad, n_chunks).
+        """
+        n = self.xyz.shape[0]
+        nx, ny, nz = self.dims
+        ncells = self.ncells
+        key_s = self.sorted_key  # [n], invalid tail = ncells
+        valid_s = key_s < ncells
+        counts = self.starts[1:] - self.starts[:-1]  # [ncells]
+        # Within-bucket slot of each sorted point (sorted => contiguous).
+        slot = jnp.arange(n, dtype=jnp.int32) - self.starts[
+            jnp.minimum(key_s, ncells - 1)
+        ]
+        ok_slot = valid_s & (slot < m)
+        flat = jnp.where(
+            ok_slot, jnp.minimum(key_s, ncells - 1) * m + slot,
+            ncells * m,
+        )
+        tbl = (
+            jnp.full((ncells * m + 1, 3), 1e9, jnp.float32)
+            .at[flat]
+            .set(jnp.where(ok_slot[:, None], self.sorted_xyz, 1e9))[:-1]
+            .reshape(ncells, m, 3)
+        )
+        ids = (
+            jnp.full((ncells * m + 1,), -1, jnp.int32)
+            .at[flat]
+            .set(jnp.where(ok_slot, self.order, -1))[:-1]
+            .reshape(ncells, m)
+        )
+        pad_lo = ny * nz + nz + 1  # max |linear offset| of (+-1,+-1,+-1)
+        nc_pad = (-ncells) % cell_chunk
+        n_chunks = (ncells + nc_pad) // cell_chunk
+        pad_hi = pad_lo + nc_pad
+        tblp = jnp.concatenate([
+            jnp.full((pad_lo, m, 3), 1e9, jnp.float32),
+            tbl,
+            jnp.full((pad_hi, m, 3), 1e9, jnp.float32),
+        ])
+        idsp = jnp.concatenate([
+            jnp.full((pad_lo, m), -1, jnp.int32),
+            ids,
+            jnp.full((pad_hi, m), -1, jnp.int32),
+        ])
+        cntp = jnp.concatenate([
+            jnp.zeros(pad_lo, jnp.int32),
+            counts,
+            jnp.zeros(pad_hi, jnp.int32),
+        ])
+        offsets = [
+            (dx * ny + dy) * nz + dz
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+        return (ok_slot, flat, valid_s, tblp, idsp, cntp, offsets,
+                pad_lo, nc_pad, n_chunks)
+
     def knn_table(
         self,
         k: int,
@@ -576,79 +647,28 @@ class DenseGrid:
         (nothing to search).
         """
         n = self.xyz.shape[0]
-        nx, ny, nz = self.dims
         ncells = self.ncells
         b2 = jnp.float32(self.bucket_size * self.bucket_size)
-
-        key_s = self.sorted_key  # [n], invalid tail = ncells
-        valid_s = key_s < ncells
-        counts = self.starts[1:] - self.starts[:-1]  # [ncells]
-        # Within-bucket slot of each sorted point (sorted => contiguous).
-        slot = jnp.arange(n, dtype=jnp.int32) - self.starts[
-            jnp.minimum(key_s, ncells - 1)
-        ]
-        ok_slot = valid_s & (slot < m)
-        flat = jnp.where(
-            ok_slot, jnp.minimum(key_s, ncells - 1) * m + slot,
-            ncells * m,
-        )
-        # Dense tables (+1 overflow row, then one empty cell of margin on
-        # each side so neighbor-offset slices never leave the buffer).
-        tbl = (
-            jnp.full((ncells * m + 1, 3), 1e9, jnp.float32)
-            .at[flat]
-            .set(jnp.where(ok_slot[:, None], self.sorted_xyz, 1e9))[:-1]
-            .reshape(ncells, m, 3)
-        )
-        ids = (
-            jnp.full((ncells * m + 1,), -1, jnp.int32)
-            .at[flat]
-            .set(jnp.where(ok_slot, self.order, -1))[:-1]
-            .reshape(ncells, m)
-        )
-        pad_cells = nz * ny + nz + 1  # max |linear offset| of (1,1,1)
-        tblp = jnp.concatenate([
-            jnp.full((pad_cells, m, 3), 1e9, jnp.float32),
-            tbl,
-            jnp.full((pad_cells, m, 3), 1e9, jnp.float32),
-        ])
-        idsp = jnp.concatenate([
-            jnp.full((pad_cells, m), -1, jnp.int32),
-            ids,
-            jnp.full((pad_cells, m), -1, jnp.int32),
-        ])
-        cntp = jnp.concatenate([
-            jnp.zeros(pad_cells, jnp.int32),
-            counts,
-            jnp.zeros(pad_cells, jnp.int32),
-        ])
-
-        offsets = [
-            (dx * ny + dy) * nz + dz
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-            for dz in (-1, 0, 1)
-        ]
-        nc_pad = (-ncells) % cell_chunk
-        n_chunks = (ncells + nc_pad) // cell_chunk
+        (ok_slot, flat, valid_s, tblp, idsp, cntp, offsets, pad_lo,
+         nc_pad, n_chunks) = self._neighbor_tables(m, cell_chunk)
         lanes = 27 * m
 
         def one_chunk(c0):
             q = jax.lax.dynamic_slice(
-                tblp, (pad_cells + c0, 0, 0), (cell_chunk, m, 3)
+                tblp, (pad_lo + c0, 0, 0), (cell_chunk, m, 3)
             )  # [C, m, 3]
             all_d2, all_id = [], []
             overflow = jnp.zeros((cell_chunk,), bool)
             for j, off in enumerate(offsets):
                 cand = jax.lax.dynamic_slice(
-                    tblp, (pad_cells + c0 + off, 0, 0),
+                    tblp, (pad_lo + c0 + off, 0, 0),
                     (cell_chunk, m, 3),
                 )
                 cid = jax.lax.dynamic_slice(
-                    idsp, (pad_cells + c0 + off, 0), (cell_chunk, m)
+                    idsp, (pad_lo + c0 + off, 0), (cell_chunk, m)
                 )
                 ccnt = jax.lax.dynamic_slice(
-                    cntp, (pad_cells + c0 + off,), (cell_chunk,)
+                    cntp, (pad_lo + c0 + off,), (cell_chunk,)
                 )
                 overflow = overflow | (ccnt > m)
                 diff = q[:, :, None, :] - cand[:, None, :, :]
@@ -710,7 +730,6 @@ class DenseGrid:
         out_d = jnp.full((n + 1, k), _INF, jnp.float32)
         out_i = jnp.full((n + 1, k), -1, jnp.int32)
         out_e = jnp.ones((n + 1,), bool)
-        src_pos = jnp.where(ok_slot, jnp.arange(n, dtype=jnp.int32), n)
         d_flat = d2k.reshape(ncells * m, k)
         i_flat = idk.reshape(ncells * m, k)
         e_flat = exact.reshape(ncells * m)
@@ -757,75 +776,28 @@ class DenseGrid:
                 f"({radius} > {self.bucket_size})"
             )
         n = self.xyz.shape[0]
-        nx, ny, nz = self.dims
         ncells = self.ncells
         r2 = jnp.float32(radius * radius)
-
-        key_s = self.sorted_key
-        valid_s = key_s < ncells
-        counts = self.starts[1:] - self.starts[:-1]
-        slot = jnp.arange(n, dtype=jnp.int32) - self.starts[
-            jnp.minimum(key_s, ncells - 1)
-        ]
-        ok_slot = valid_s & (slot < m)
-        flat = jnp.where(
-            ok_slot, jnp.minimum(key_s, ncells - 1) * m + slot,
-            ncells * m,
-        )
-        tbl = (
-            jnp.full((ncells * m + 1, 3), 1e9, jnp.float32)
-            .at[flat]
-            .set(jnp.where(ok_slot[:, None], self.sorted_xyz, 1e9))[:-1]
-            .reshape(ncells, m, 3)
-        )
-        ids = (
-            jnp.full((ncells * m + 1,), -1, jnp.int32)
-            .at[flat]
-            .set(jnp.where(ok_slot, self.order, -1))[:-1]
-            .reshape(ncells, m)
-        )
-        pad_cells = nz * ny + nz + 1
-        tblp = jnp.concatenate([
-            jnp.full((pad_cells, m, 3), 1e9, jnp.float32),
-            tbl,
-            jnp.full((pad_cells, m, 3), 1e9, jnp.float32),
-        ])
-        idsp = jnp.concatenate([
-            jnp.full((pad_cells, m), -1, jnp.int32),
-            ids,
-            jnp.full((pad_cells, m), -1, jnp.int32),
-        ])
-        cntp = jnp.concatenate([
-            jnp.zeros(pad_cells, jnp.int32),
-            counts,
-            jnp.zeros(pad_cells, jnp.int32),
-        ])
-        offsets = [
-            (dx * ny + dy) * nz + dz
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-            for dz in (-1, 0, 1)
-        ]
-        nc_pad = (-ncells) % cell_chunk
-        n_chunks = (ncells + nc_pad) // cell_chunk
+        (ok_slot, flat, valid_s, tblp, idsp, cntp, offsets, pad_lo,
+         nc_pad, n_chunks) = self._neighbor_tables(m, cell_chunk)
         cap = min(max_neighbors, 27 * m)
 
         def one_chunk(c0):
             q = jax.lax.dynamic_slice(
-                tblp, (pad_cells + c0, 0, 0), (cell_chunk, m, 3)
+                tblp, (pad_lo + c0, 0, 0), (cell_chunk, m, 3)
             )
             all_d2, all_id = [], []
             overflow = jnp.zeros((cell_chunk,), bool)
             for off in offsets:
                 cand = jax.lax.dynamic_slice(
-                    tblp, (pad_cells + c0 + off, 0, 0),
+                    tblp, (pad_lo + c0 + off, 0, 0),
                     (cell_chunk, m, 3),
                 )
                 cid = jax.lax.dynamic_slice(
-                    idsp, (pad_cells + c0 + off, 0), (cell_chunk, m)
+                    idsp, (pad_lo + c0 + off, 0), (cell_chunk, m)
                 )
                 ccnt = jax.lax.dynamic_slice(
-                    cntp, (pad_cells + c0 + off,), (cell_chunk,)
+                    cntp, (pad_lo + c0 + off,), (cell_chunk,)
                 )
                 overflow = overflow | (ccnt > m)
                 diff = q[:, :, None, :] - cand[:, None, :, :]
@@ -876,7 +848,7 @@ class DenseGrid:
         d_flat = d2k.reshape(ncells * m, cap)
         i_flat = idk.reshape(ncells * m, cap)
         c_flat = count.reshape(ncells * m)
-        e_cell = exact[jnp.minimum(key_s, ncells - 1)]
+        e_cell = exact[jnp.minimum(self.sorted_key, ncells - 1)]
         out_d = out_d.at[orig].set(
             jnp.where(ok_slot[:, None], d_flat[sel], _INF)
         )
@@ -1022,8 +994,18 @@ def _grid_geometry(xyz, mask, bucket_size: float, max_cells: int):
 
 # jitted whole-pass closures keyed by their static configuration (a fresh
 # jax.jit wrapper per call would defeat the dispatch cache and re-trace
-# every call — same reasoning as registration._step_fns_cached).
+# every call — same reasoning as registration._step_fns_cached). BOUNDED:
+# grid dims are per-cloud, so a long-running node whose bbox drifts every
+# frame would otherwise grow this (and the compiled executables it pins)
+# without limit.
 _GRID_JIT_CACHE: dict = {}
+_GRID_JIT_CACHE_MAX = 64
+
+
+def _grid_jit_cache_put(key, fn):
+    if len(_GRID_JIT_CACHE) >= _GRID_JIT_CACHE_MAX:
+        _GRID_JIT_CACHE.pop(next(iter(_GRID_JIT_CACHE)))  # FIFO evict
+    _GRID_JIT_CACHE[key] = fn
 
 
 def _grid_knn_pass(dims, bucket_size, k, cap, self_exclude, max_cells):
@@ -1044,7 +1026,7 @@ def _grid_knn_pass(dims, bucket_size, k, cap, self_exclude, max_cells):
             self_pos = grid.inv_order if self_exclude else None
             return grid.knn(queries, k, cap=cap, self_pos=self_pos)
 
-        _GRID_JIT_CACHE[key] = fn
+        _grid_jit_cache_put(key, fn)
     return fn
 
 
@@ -1062,7 +1044,7 @@ def _grid_table_pass(dims, bucket_size, k, m, max_cells):
             )
             return grid.knn_table(k, m=m)
 
-        _GRID_JIT_CACHE[key] = fn
+        _grid_jit_cache_put(key, fn)
     return fn
 
 
@@ -1191,7 +1173,7 @@ def _grid_radius_pass(dims, bucket_size, radius, max_neighbors, m,
             )
             return grid.radius_table(radius, max_neighbors, m=m)
 
-        _GRID_JIT_CACHE[key] = fn
+        _grid_jit_cache_put(key, fn)
     return fn
 
 

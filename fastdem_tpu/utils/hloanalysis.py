@@ -25,7 +25,7 @@ _COLLECTIVES = (
 )
 
 _OP_RE = re.compile(
-    r"^[%\w.\-]+\s*=\s*(?P<shapes>.+?)\s+(?P<op>"
+    r"^(?:ROOT\s+)?[%\w.\-]+\s*=\s*(?P<shapes>.+?)\s+(?P<op>"
     + "|".join(_COLLECTIVES)
     + r")(?:-start)?\("
 )

@@ -120,6 +120,28 @@ class TestKnnGridExact:
         np.testing.assert_array_equal(np.asarray(gc), np.asarray(bc))
         np.testing.assert_array_equal(np.asarray(gd), np.asarray(bd))
 
+    def test_elongated_grid_chunk_boundary(self):
+        """Regression (r5 review): when ncells % cell_chunk != 0, the
+        final cell chunk's positive-offset neighbor slices ran past the
+        table (dynamic_slice CLAMPS silently) and fetched wrong cells —
+        certified exact, so no fallback fired. An elongated cloud makes
+        dims like (102, 5, 5) whose ncells is far from chunk-aligned."""
+        rng = np.random.default_rng(0)
+        n = 20000
+        xyz = np.column_stack([
+            rng.uniform(0, 100, n), rng.uniform(0, 3, n),
+            rng.uniform(0, 3, n),
+        ]).astype(np.float32)
+        xyzj, maskj = jnp.asarray(xyz), jnp.ones(n, bool)
+        gi, gd = search.knn_grid(xyzj, maskj, 10, bucket_size=1.0)
+        bi, bd = search.knn_brute(xyzj, maskj, 10)
+        np.testing.assert_array_equal(np.asarray(gd), np.asarray(bd))
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(bi))
+        ri, rd, rc = search.radius_search_grid(xyzj, maskj, 1.0, 8)
+        bi2, bd2, bc2 = search.radius_search_brute(xyzj, maskj, 1.0, 8)
+        np.testing.assert_array_equal(np.asarray(rc), np.asarray(bc2))
+        np.testing.assert_array_equal(np.asarray(rd), np.asarray(bd2))
+
     def test_normals_grid_method(self, scene):
         from fastdem_tpu.cloud import normals
         from fastdem_tpu.cloud.pointcloud import from_numpy
