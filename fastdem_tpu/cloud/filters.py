@@ -464,33 +464,21 @@ def radius_outlier_removal(
     per_bucket: int = 16,
 ) -> PointCloud:
     """Keep points with >= min_neighbors other points within ``radius``
-    (outlier_removal_impl.hpp:21-48). "auto" counts exactly at any N —
-    via the dense-table grid above the crossover for concrete inputs
-    (search.radius_search_grid, r5; masked rows were never counted), the
-    brute tile otherwise; "bucket" keeps the capped approximate
-    voxel-bucket count for latency-bound callers."""
-    if method == "auto":
-        import jax as _jax
-
-        from fastdem_tpu.cloud import search as _search
-
-        concrete = not (
-            isinstance(cloud.xyz, _jax.core.Tracer)
-            or isinstance(cloud.mask, _jax.core.Tracer)
-        )
-        method = (
-            "grid"
-            if concrete and cloud.capacity >= _search._GRID_CROSSOVER
-            else "brute"
-        )
-    if method == "grid":
-        from fastdem_tpu.cloud.search import radius_search_grid
-
-        _, _, cnt = radius_search_grid(cloud.xyz, cloud.mask, radius, 1)
-    elif method == "brute":
+    (outlier_removal_impl.hpp:21-48). "auto"/"brute" counts exactly at
+    any N via the tiled direct-difference pass — measured FASTER than the
+    dense-table grid for pure counting (114 vs 1432 ms at 100K on v5e,
+    r5: the count needs no candidate extraction and the dense tile is
+    VPU-friendly); "grid" opts into search.radius_search_grid (exact,
+    returns the neighbor sets too); "bucket" keeps the capped
+    approximate voxel-bucket count for latency-bound callers."""
+    if method in ("auto", "brute"):
         from fastdem_tpu.cloud.search import radius_count_brute
 
         cnt = radius_count_brute(cloud.xyz, cloud.mask, radius)
+    elif method == "grid":
+        from fastdem_tpu.cloud.search import radius_search_grid
+
+        _, _, cnt = radius_search_grid(cloud.xyz, cloud.mask, radius, 1)
     else:
         from fastdem_tpu.cloud.search import BucketGrid
 

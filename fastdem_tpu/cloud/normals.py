@@ -61,6 +61,20 @@ def _normals_tail(xyz: jnp.ndarray, idx: jnp.ndarray, vp: jnp.ndarray):
     return jnp.where(ok[:, None], normal, 0.0)
 
 
+def _grid_eligible(cloud, method):
+    from fastdem_tpu.cloud import search as _s
+
+    if method == "grid":
+        return True
+    if method != "auto":
+        return False
+    concrete = not (
+        isinstance(cloud.xyz, jax.core.Tracer)
+        or isinstance(cloud.mask, jax.core.Tracer)
+    )
+    return concrete and cloud.xyz.shape[0] >= _s._GRID_CROSSOVER
+
+
 def estimate_normals(
     cloud: PointCloud,
     k: int = 10,
@@ -68,11 +82,21 @@ def estimate_normals(
     method: str = "auto",
     bucket_size: Optional[float] = None,
 ) -> PointCloud:
-    """Adds a 'normal' channel; normals oriented toward ``viewpoint``."""
+    """Adds a 'normal' channel; normals oriented toward ``viewpoint``.
+
+    On the grid path the PCA tail is FUSED into the kNN table pass (one
+    device dispatch for the whole estimate; search.knn_grid tail)."""
+    vp = jnp.asarray(viewpoint, dtype=jnp.float32)
+    if _grid_eligible(cloud, method):
+        from fastdem_tpu.cloud.search import knn_grid
+
+        _, _, normal = knn_grid(
+            cloud.xyz, cloud.mask, k, bucket_size=bucket_size,
+            tail=_normals_tail, tail_args=(vp,),
+        )
+        return cloud.with_channel("normal", normal)
     idx, _ = knn(cloud.xyz, cloud.mask, k, method=method, bucket_size=bucket_size)
-    normal = _normals_tail(
-        cloud.xyz, idx, jnp.asarray(viewpoint, dtype=jnp.float32)
-    )
+    normal = _normals_tail(cloud.xyz, idx, vp)
     return cloud.with_channel("normal", normal)
 
 
@@ -100,6 +124,16 @@ def _cov_tail(
     return jnp.where(ok[:, None, None], cov, eye)
 
 
+def _cov_tail_reg(xyz, idx, epsilon):
+    """Fixed-arity tail forms for knn_grid fusion (the jit-cache key is
+    the function object, so these must be stable module-level symbols)."""
+    return _cov_tail(xyz, idx, epsilon, True)
+
+
+def _cov_tail_noreg(xyz, idx, epsilon):
+    return _cov_tail(xyz, idx, epsilon, False)
+
+
 def estimate_covariances(
     cloud: PointCloud,
     k: int = 10,
@@ -110,9 +144,18 @@ def estimate_covariances(
 ) -> PointCloud:
     """Adds a 'covariance' channel [N, 3, 3] (GICP-style). With
     ``regularize``, eigenvalues are flattened to (eps, 1, 1) along the
-    principal axes — the standard plane-to-plane regularization."""
+    principal axes — the standard plane-to-plane regularization. On the
+    grid path the PCA tail is fused into the kNN pass (one dispatch)."""
+    eps = jnp.float32(epsilon)
+    if _grid_eligible(cloud, method):
+        from fastdem_tpu.cloud.search import knn_grid
+
+        tail = _cov_tail_reg if regularize else _cov_tail_noreg
+        _, _, cov = knn_grid(
+            cloud.xyz, cloud.mask, k, bucket_size=bucket_size,
+            tail=tail, tail_args=(eps,),
+        )
+        return cloud.with_channel("covariance", cov)
     idx, _ = knn(cloud.xyz, cloud.mask, k, method=method, bucket_size=bucket_size)
-    cov = _cov_tail(
-        cloud.xyz, idx, jnp.float32(epsilon), regularize
-    )
+    cov = _cov_tail(cloud.xyz, idx, eps, regularize)
     return cloud.with_channel("covariance", cov)

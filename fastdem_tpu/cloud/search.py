@@ -1030,19 +1030,24 @@ def _grid_knn_pass(dims, bucket_size, k, cap, self_exclude, max_cells):
     return fn
 
 
-def _grid_table_pass(dims, bucket_size, k, m, max_cells):
-    """One jitted program for the dense-table SELF-kNN (knn_table)."""
-    key = ("table", dims, round(bucket_size, 9), k, m)
+def _grid_table_pass(dims, bucket_size, k, m, max_cells, tail=None):
+    """One jitted program for the dense-table SELF-kNN (knn_table),
+    optionally fused with a ``tail(xyz, idx, *tail_args)`` consumer
+    (normals / covariance PCA) so the whole pipeline is ONE dispatch."""
+    key = ("table", dims, round(bucket_size, 9), k, m, tail)
     fn = _GRID_JIT_CACHE.get(key)
     if fn is None:
 
         @jax.jit
-        def fn(xyz, mask, origin):
+        def fn(xyz, mask, origin, *tail_args):
             grid = DenseGrid(
                 xyz, mask, bucket_size, max_cells=max_cells, dims=dims,
                 origin=origin,
             )
-            return grid.knn_table(k, m=m)
+            idx, dist, exact = grid.knn_table(k, m=m)
+            if tail is None:
+                return idx, dist, exact, ()
+            return idx, dist, exact, tail(xyz, idx, *tail_args)
 
         _grid_jit_cache_put(key, fn)
     return fn
@@ -1085,6 +1090,8 @@ def knn_grid(
     cap: int = 64,
     queries: Optional[jnp.ndarray] = None,
     exclude_self: bool = True,
+    tail=None,
+    tail_args: tuple = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EXACT kNN via the dense-grid candidate pass + brute fallback on the
     queries whose certificate fails (sparse regions / overflowing columns).
@@ -1094,6 +1101,12 @@ def knn_grid(
     registration prep) are host-level anyway; in-jit users take
     ``knn_brute``. Cost: one sort + 9 row-slice gathers + top-k for all
     queries, plus the O(N) brute tile for only the failing fraction.
+
+    ``tail``: optional traceable consumer ``tail(xyz, idx, *tail_args)``
+    FUSED into the table pass (self-kNN only) so e.g. kNN + PCA normals
+    is one device dispatch; when any certificate fails, the tail re-runs
+    once on the merged exact idx. With a tail the return is
+    (idx, dist, tail_out).
     """
     import numpy as np
 
@@ -1123,15 +1136,21 @@ def knn_grid(
     # small buckets can blow ncells up to max_cells, and a multi-GB table
     # helps nobody — bound the footprint and fall back to the per-query
     # pass (still exact; starts[] is only 4 B/cell).
+    tail_out = None
     if m and ncells * m <= 16_000_000:
-        fn = _grid_table_pass(dims, bucket_size, k, m, 4_000_000)
-        idx, dist, exact = fn(xyz, mask, jnp.asarray(origin))
+        fn = _grid_table_pass(dims, bucket_size, k, m, 4_000_000,
+                              tail=tail)
+        idx, dist, exact, tail_out = fn(
+            xyz, mask, jnp.asarray(origin), *tail_args
+        )
     else:
         fn = _grid_knn_pass(
             dims, bucket_size, k, cap, queries is None and exclude_self,
             4_000_000,
         )
         idx, dist, exact = fn(xyz, mask, jnp.asarray(origin), q)
+        if tail is not None:
+            tail_out = tail(xyz, idx, *tail_args)
     exact_np = np.asarray(exact)
     # Invalid (masked) self-queries report garbage either way; don't pay
     # brute for them.
@@ -1139,6 +1158,8 @@ def knn_grid(
         exact_np = exact_np | ~np.asarray(mask)
     n_fail = int((~exact_np).sum())
     if n_fail == 0:
+        if tail is not None:
+            return idx, dist, tail_out
         return idx, dist
     fail = np.nonzero(~exact_np)[0]
     capn = min(ladder_capacity(n_fail), q.shape[0])
@@ -1155,6 +1176,10 @@ def knn_grid(
     )
     idx = idx.at[jnp.asarray(fail)].set(bi[:n_fail])
     dist = dist.at[jnp.asarray(fail)].set(bd[:n_fail])
+    if tail is not None:
+        # One extra dispatch only on fallback: the tail re-runs on the
+        # merged exact neighbor lists.
+        return idx, dist, tail(xyz, idx, *tail_args)
     return idx, dist
 
 

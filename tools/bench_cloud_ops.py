@@ -91,8 +91,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--sections", default=None, metavar="A,B",
                     help="run only these sections (transform,voxel,knn,"
-                         "knn_grid,knn_bucket,normals,normals_grid,"
-                         "normals_bucket,reg)")
+                         "knn_grid,radius_grid,knn_bucket,normals,"
+                         "normals_grid,normals_bucket,reg)")
     args = ap.parse_args()
 
     sections = set(args.sections.split(",")) if args.sections else None
@@ -255,6 +255,70 @@ def main():
             note=f"EXACT grid-kNN + PCA normals wall ms/call, median of "
                  f"{st['n']} reps +-{st['ci95']:.1f} CI95 (nanoPCL "
                  f"estimateNormals ~50 ms at 100K)",
+        )
+
+    if want("radius_grid"):
+        from fastdem_tpu.cloud.search import radius_search_grid
+        from fastdem_tpu.utils.benchtime import summarize
+
+        radius_search_grid(xyz1, mask1, 0.5, 16)  # warm
+        times = []
+        for _ in range(3 if q else 5):
+            t0 = time.time()
+            ri, rd, rc = radius_search_grid(xyz1, mask1, 0.5, 16)
+            ri.block_until_ready()
+            times.append((time.time() - t0) * 1e3)
+        st = summarize(times)
+        emit("radius_100k_grid" if not q else "radius_10k_grid",
+             st["median"],
+             note=f"EXACT radius SET retrieval r=0.5 m cap 16 wall "
+                  f"ms/call incl. grid build, median of {st['n']} reps "
+                  f"+-{st['ci95']:.1f} CI95 (dense-table; the cap-pass "
+                  f"extraction dominates — counts are the cheap case "
+                  f"below; brute tile is O(N^2))")
+
+        # Count-only (what radius_outlier_removal consumes): cap=1 ->
+        # one extraction pass; the dense count sweep is the whole cost.
+        radius_search_grid(xyz1, mask1, 0.5, 1)  # warm
+        times = []
+        for _ in range(3 if q else 5):
+            t0 = time.time()
+            _, _, rc = radius_search_grid(xyz1, mask1, 0.5, 1)
+            rc.block_until_ready()
+            times.append((time.time() - t0) * 1e3)
+        st = summarize(times)
+        emit("radius_count_100k_grid" if not q else "radius_count_10k",
+             st["median"],
+             note=f"EXACT in-radius counts r=0.5 m wall ms/call incl. "
+                  f"grid build, median of {st['n']} reps "
+                  f"+-{st['ci95']:.1f} CI95")
+
+        # The tiled direct-difference BRUTE count — the production
+        # default for counting (filters.radius_outlier_removal): pure
+        # dense VPU work, no candidate extraction. device_get forces a
+        # real sync (block_until_ready lies for small outputs on this
+        # relay — BENCH_NOTES r5).
+        from fastdem_tpu.cloud.search import radius_count_brute
+
+        fb = jax.jit(
+            radius_count_brute,
+            static_argnames=(
+                "radius", "exclude_self", "chunk", "data_chunk",
+            ),
+        )
+        float(jax.device_get(fb(xyz1, mask1, 0.5)[0]))  # warm
+        times = []
+        for _ in range(3 if q else 5):
+            t0 = time.time()
+            float(jax.device_get(fb(xyz1, mask1, 0.5)[0]))
+            times.append((time.time() - t0) * 1e3)
+        st = summarize(times)
+        emit(
+            "radius_count_100k_brute" if not q else "radius_count_10k_b",
+            st["median"],
+            note=f"EXACT in-radius counts r=0.5 m, tiled brute "
+                 f"(O(N^2) dense, the production default), wall ms/call "
+                 f"median of {st['n']} reps +-{st['ci95']:.1f} CI95",
         )
 
     if want("knn_bucket"):
