@@ -1234,9 +1234,17 @@ def radius_search_grid(
         ).astype(np.int64)
         keys = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
         _, cnts = np.unique(keys, return_counts=True)
-        p995 = float(np.percentile(cnts, 99.5)) if cnts.size else 8.0
-        m = int(min(64, max(8, -(-int(p995) // 8) * 8)))
-    if ncells * m <= 16_000_000:
+        # Unlike kNN (where overflowing rows are rare and cheap to fall
+        # back), the bucket here is PINNED to the radius, and ONE
+        # overflowing bucket poisons the certificate of its whole
+        # 27-neighborhood — a p99.5 cap sent 98.8% of a dense cloud
+        # through the brute fallback (r5). Size m to the MAX occupancy
+        # so overflow (and the fallback) cannot happen, and hand the
+        # dense-ball regime (max occupancy > 128: radius >> spacing)
+        # straight to the brute tile, which wins there anyway.
+        mx = int(cnts.max()) if cnts.size else 1
+        m = int(max(8, -(-mx // 8) * 8))
+    if m <= 128 and ncells * m <= 16_000_000:
         fn = _grid_radius_pass(
             dims, bucket_size, float(radius), max_neighbors, m, 4_000_000
         )
